@@ -1,0 +1,122 @@
+"""Configuration for the SLAM engine and training.
+
+TPU-native replacement of the reference's two-tier config (yacs CfgNode for
+inference — ref dpvo/config.py:3-38 — and plain-YAML dicts for training —
+ref train.py:23-26).  A frozen dataclass keeps the engine config hashable so
+it can be closed over by jitted functions; YAML files and ``KEY VALUE``
+CLI pairs merge into it, preserving the reference's override UX
+(``--opts BUFFER_SIZE 8192``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass(frozen=True)
+class VOConfig:
+    """Inference/SLAM engine configuration (defaults mirror ref config.py)."""
+
+    # max number of keyframes (ref config.py:6)
+    BUFFER_SIZE: int = 4096
+
+    # patch centroid selection: RANDOM | GRADIENT_BIAS (ref config.py:9)
+    CENTROID_SEL_STRAT: str = "RANDOM"
+
+    # VO config (ref config.py:12-15)
+    PATCHES_PER_FRAME: int = 96
+    REMOVAL_WINDOW: int = 22
+    OPTIMIZATION_WINDOW: int = 10
+    PATCH_LIFETIME: int = 13
+
+    # keyframing (ref config.py:18-19)
+    KEYFRAME_INDEX: int = 4
+    KEYFRAME_THRESH: float = 15.0
+
+    # camera motion model (ref config.py:22-23)
+    MOTION_MODEL: str = "DAMPED_LINEAR"
+    MOTION_DAMPING: float = 0.5
+
+    # bf16 on TPU in place of the reference's CUDA fp16 AMP (ref config.py:25)
+    MIXED_PRECISION: bool = True
+
+    # proximity loop closure (ref config.py:28-31)
+    LOOP_CLOSURE: bool = False
+    BACKEND_THRESH: float = 64.0
+    MAX_EDGE_AGE: int = 1000
+    GLOBAL_OPT_FREQ: int = 15
+
+    # classic loop closure: DBoW retrieval + Sim3 PGO (ref config.py:34-36)
+    CLASSIC_LOOP_CLOSURE: bool = False
+    LOOP_CLOSE_WINDOW_SIZE: int = 3
+    LOOP_RETR_THRESH: float = 0.04
+
+    # --- TPU-specific knobs (no reference equivalent) ---
+    # static edge-table capacities; XLA shapes are fixed at these values
+    EDGE_CAPACITY: int = 4096        # active edge table slots
+    EDGE_CAPACITY_INAC: int = 16384  # inactive (global-BA) edge slots
+    # patch/frame window capacity for local BA (frames)
+    BA_WINDOW_CAP: int = 28
+    # dtype used for feature ring buffers & network activations
+    COMPUTE_DTYPE: str = "bfloat16"
+
+    def replace(self, **kw) -> "VOConfig":
+        return dataclasses.replace(self, **kw)
+
+    def merge_opts(self, opts: list[str] | None) -> "VOConfig":
+        """Merge ``[KEY, VALUE, KEY, VALUE, ...]`` CLI pairs (yacs-style)."""
+        if not opts:
+            return self
+        assert len(opts) % 2 == 0, "opts must be KEY VALUE pairs"
+        kw: dict[str, Any] = {}
+        for k, v in zip(opts[::2], opts[1::2]):
+            cur = getattr(self, k)  # raises for unknown keys, like yacs
+            if isinstance(cur, bool):
+                kw[k] = str(v).lower() in ("1", "true", "yes")
+            elif isinstance(cur, int):
+                kw[k] = int(v)
+            elif isinstance(cur, float):
+                kw[k] = float(v)
+            else:
+                kw[k] = v
+        return self.replace(**kw)
+
+    def merge_yaml(self, path: str) -> "VOConfig":
+        import yaml
+        with open(path) as f:
+            data = yaml.safe_load(f) or {}
+        known = {f.name for f in dataclasses.fields(self)}
+        return self.replace(**{k: v for k, v in data.items() if k in known})
+
+
+cfg = VOConfig()
+
+
+def load_train_config(path: str) -> dict:
+    """Training config: nested YAML dict with defaults, mirroring the
+    reference's sections dataset/training/scheduler/model/loss/dataloader/
+    validation (ref config/tartan_train.yaml)."""
+    import yaml
+    defaults: dict[str, Any] = {
+        "dataset": {"names": ["tartan"], "roots": ["datasets/TartanAir"],
+                    "n_frames": 15, "fmin": 16.0, "fmax": 60.0},
+        "training": {"steps": 240000, "lr": 8e-5, "weight_decay": 1e-6,
+                     "clip": 10.0, "batch_size": 1, "ckpt": None,
+                     "name": "dpvo_tpu", "iters": 18, "M": 80,
+                     "structure_warmup": 1000},
+        "scheduler": {"type": "onecycle", "pct_start": 0.01},
+        "model": {"patch_size": 3, "dim": 384},
+        "loss": {"flow_weight": 10.0, "pose_weight": 10.0,
+                 "so_weight": 1.0},
+        "dataloader": {"num_workers": 8, "prefetch": 4},
+        "validation": {"freq": 5000, "n_frames": 15},
+    }
+    with open(path) as f:
+        user = yaml.safe_load(f) or {}
+    for k, v in user.items():
+        if isinstance(v, dict) and k in defaults:
+            defaults[k].update(v)
+        else:
+            defaults[k] = v
+    return defaults

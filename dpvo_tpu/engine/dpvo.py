@@ -1,0 +1,509 @@
+"""The DPVO SLAM engine: frame-by-frame visual odometry on TPU.
+
+Public API mirrors the reference (ref dpvo/dpvo.py):
+
+    slam = DPVO(cfg, network, ht=480, wd=640, viz=False)
+    for t, image, intrinsics in stream:
+        slam(t, image, intrinsics)
+    poses, tstamps = slam.terminate()
+
+Architecture (TPU-native, not a port): all hot math runs in a handful of
+jitted XLA programs over fixed-shape device arrays (``engine.kernels``);
+the host thread owns only the edge-index bookkeeping (numpy, ~4k ints) and
+control flow.  The reference's dynamic ``torch.cat`` edge lists and
+in-place CUDA buffer mutation become capacity-padded tables with validity
+masks and donated-buffer updates.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import VOConfig
+from ..models.update import Update, DIM
+from ..models.vonet import Patchifier, normalize_images, select_centroids, \
+    image_gradient
+from ..ops import lie
+from . import kernels
+from .state import DeviceState, HostState, allocate, allocate_host
+
+
+class DPVO:
+    def __init__(self, cfg: VOConfig, network: Any = None, ht: int = 480,
+                 wd: int = 640, viz: bool = False, seed: int = 0):
+        self.cfg = cfg
+        self.ht, self.wd = ht, wd
+        self.P = 3
+        self.M = cfg.PATCHES_PER_FRAME
+        self.N = cfg.BUFFER_SIZE
+        self.RES = 4
+
+        self.is_initialized = False
+        self.enable_timing = False
+
+        # frame memory sizes (ref dpvo.py:57-61)
+        self.mem = 36
+        self.pmem = cfg.MAX_EDGE_AGE if cfg.LOOP_CLOSURE else self.mem
+        self.last_global_ba = -1000
+
+        ctype = jnp.bfloat16 if cfg.MIXED_PRECISION else jnp.float32
+        self.patchifier = Patchifier(self.P, dtype=ctype)
+        self.update_mod = Update(self.P, dtype=ctype)
+        self.load_weights(network)
+
+        self.ds = allocate(cfg, ht, wd, self.P, self.pmem, self.mem)
+        self.hs = allocate_host(cfg)
+        self.E_cap = cfg.EDGE_CAPACITY
+
+        self._rng = jax.random.PRNGKey(seed)
+        self.viewer = None
+        if viz:
+            self.start_viewer()
+
+        # BA capacities (static shapes)
+        self.n_cap = cfg.BA_WINDOW_CAP
+        self.k_cap = 1 << math.ceil(math.log2(
+            max((cfg.REMOVAL_WINDOW + 4) * self.M, 256)))
+        self.ran_global_ba = np.zeros(100000, dtype=bool)
+
+    # --- weights -----------------------------------------------------------
+
+    def load_weights(self, network):
+        """network: flax params dict | path to .npz/.pth | None (random)."""
+        if network is None:
+            key = jax.random.PRNGKey(0)
+            img = jnp.zeros((1, 64, 64, 3))
+            crd = jnp.zeros((1, 4, 2))
+            p_params = self.patchifier.init(key, img, crd)
+            E = 8
+            u_params = self.update_mod.init(
+                key, jnp.zeros((E, DIM)), jnp.zeros((E, DIM)),
+                jnp.zeros((E, 2 * 49 * self.P * self.P)),
+                jnp.zeros((E,), jnp.int32), jnp.zeros((E,), jnp.int32),
+                jnp.zeros((E,), jnp.int32))
+            self.params_patchify = p_params
+            self.params_update = u_params
+        elif isinstance(network, str):
+            from ..utils.checkpoint import load_network
+            self.params_patchify, self.params_update = load_network(network)
+        else:
+            self.params_patchify, self.params_update = network
+
+    # --- small helpers -----------------------------------------------------
+
+    def next_rng(self):
+        self._rng, k = jax.random.split(self._rng)
+        return k
+
+    @property
+    def n(self):
+        return self.hs.n
+
+    @n.setter
+    def n(self, v):
+        self.hs.n = v
+
+    @property
+    def m(self):
+        return self.hs.m
+
+    @m.setter
+    def m(self, v):
+        self.hs.m = v
+
+    @property
+    def ix(self):
+        """Patch index -> source frame (dense arange mapping)."""
+        return np.arange(self.N * self.M, dtype=np.int32) // self.M
+
+    def start_viewer(self):
+        try:
+            from ..viz.viewer import Viewer
+            self.viewer = Viewer(self)
+        except Exception as e:  # viewer is optional (ref dpvo.py:82-88)
+            print(f"WARNING: viewer unavailable: {e}")
+            self.viewer = None
+
+    # --- edge bookkeeping (host) ------------------------------------------
+
+    def append_factors(self, kk_new, jj_new):
+        """ref dpvo.py:215-221 (args named (ii, jj) there but carry patch
+        indices)."""
+        cnt = len(kk_new)
+        if cnt == 0:
+            return
+        s = self.hs.e_num
+        if s + cnt > self.E_cap:
+            raise RuntimeError(
+                f"edge table overflow: {s}+{cnt} > {self.E_cap}; increase "
+                f"EDGE_CAPACITY")
+        self.hs.kk[s:s + cnt] = kk_new
+        self.hs.jj[s:s + cnt] = jj_new
+        self.hs.ii[s:s + cnt] = kk_new // self.M
+        self.hs.e_num = s + cnt
+        # zero the hidden state of the new rows
+        row = jnp.arange(self.E_cap)[:, None]
+        self.ds.net = jnp.where((row >= s) & (row < s + cnt), 0.0,
+                                self.ds.net)
+
+    def remove_factors(self, mask, store: bool):
+        """ref dpvo.py:223-238; mask over the first e_num live edges."""
+        e = self.hs.e_num
+        mask = np.asarray(mask, bool)
+        if store and mask.any():
+            tgt = np.asarray(self.ds.target[:e][mask])
+            wgt = np.asarray(self.ds.weight[:e][mask])
+            self.hs.ii_inac = np.concatenate([self.hs.ii_inac,
+                                              self.hs.ii[:e][mask]])
+            self.hs.jj_inac = np.concatenate([self.hs.jj_inac,
+                                              self.hs.jj[:e][mask]])
+            self.hs.kk_inac = np.concatenate([self.hs.kk_inac,
+                                              self.hs.kk[:e][mask]])
+            self.hs.target_inac = np.concatenate([self.hs.target_inac, tgt])
+            self.hs.weight_inac = np.concatenate([self.hs.weight_inac, wgt])
+        keep = np.nonzero(~mask)[0]
+        cnt = len(keep)
+        perm = np.concatenate([keep, np.arange(e, self.E_cap),
+                               np.arange(cnt, e)])[:self.E_cap]
+        self.hs.ii[:cnt] = self.hs.ii[:e][keep]
+        self.hs.jj[:cnt] = self.hs.jj[:e][keep]
+        self.hs.kk[:cnt] = self.hs.kk[:e][keep]
+        self.hs.e_num = cnt
+        self.ds.net, self.ds.target, self.ds.weight = kernels.permute_edges(
+            self.ds.net, self.ds.target, self.ds.weight,
+            jnp.asarray(perm, jnp.int32), jnp.int32(cnt))
+
+    def __edges_forw(self):
+        r = self.cfg.PATCH_LIFETIME
+        t0 = self.M * max(self.n - r, 0)
+        t1 = self.M * max(self.n - 1, 0)
+        kk = np.arange(t0, t1, dtype=np.int32)
+        jj = np.full_like(kk, self.n - 1)
+        return kk, jj
+
+    def __edges_back(self):
+        r = self.cfg.PATCH_LIFETIME
+        t0 = self.M * max(self.n - 1, 0)
+        t1 = self.M * max(self.n - 0, 0)
+        kk0 = np.arange(t0, t1, dtype=np.int32)
+        jrange = np.arange(max(self.n - r, 0), self.n, dtype=np.int32)
+        kk = np.repeat(kk0, len(jrange))
+        jj = np.tile(jrange, len(kk0))
+        return kk, jj
+
+    def _edge_device_arrays(self):
+        e = self.hs.e_num
+        valid = np.zeros((self.E_cap,), bool)
+        valid[:e] = True
+        return (jnp.asarray(self.hs.ii), jnp.asarray(self.hs.jj),
+                jnp.asarray(self.hs.kk), jnp.asarray(valid))
+
+    # --- core steps --------------------------------------------------------
+
+    def update(self):
+        ds, hs = self.ds, self.hs
+        ii_d, jj_d, kk_d, valid = self._edge_device_arrays()
+
+        run_global = (self.cfg.LOOP_CLOSURE
+                      and (hs.ii[:hs.e_num] < self.n
+                           - self.cfg.REMOVAL_WINDOW - 1).any()
+                      and not self.ran_global_ba[self.n])
+
+        if run_global:
+            # network update WITHOUT local BA, then global BA over
+            # active + inactive edges (ref dpvo.py:312-326)
+            (ds.net, ds.target, ds.weight, _delta, ds.poses,
+             ds.patches) = kernels.update_step(
+                self.params_update, ds.poses, ds.patches, ds.intrinsics,
+                ds.imap, ds.gmap, ds.fmap1, ds.fmap2, ds.net,
+                ii_d, jj_d, kk_d, valid,
+                jnp.int32(0), jnp.int32(0),
+                update_mod=self.update_mod, M=self.M, pmem=self.pmem,
+                mem=self.mem, n_cap=self.n_cap, k_cap=self.k_cap,
+                iterations=2, run_ba=False)
+            self.__run_global_BA()
+        else:
+            t0 = self.n - self.cfg.OPTIMIZATION_WINDOW \
+                if self.is_initialized else 1
+            t0 = max(t0, 1)
+            (ds.net, ds.target, ds.weight, _delta, ds.poses,
+             ds.patches) = kernels.update_step(
+                self.params_update, ds.poses, ds.patches, ds.intrinsics,
+                ds.imap, ds.gmap, ds.fmap1, ds.fmap2, ds.net,
+                ii_d, jj_d, kk_d, valid,
+                jnp.int32(t0), jnp.int32(self.n),
+                update_mod=self.update_mod, M=self.M, pmem=self.pmem,
+                mem=self.mem, n_cap=self.n_cap, k_cap=self.k_cap,
+                iterations=2, run_ba=True)
+
+    def __run_global_BA(self):
+        """Global BA over active + inactive edges (ref dpvo.py:312-326)."""
+        from ..ops import ba as ba_ops
+        hs, ds = self.hs, self.ds
+        e = hs.e_num
+        ii = np.concatenate([hs.ii_inac, hs.ii[:e]])
+        jj = np.concatenate([hs.jj_inac, hs.jj[:e]])
+        kk = np.concatenate([hs.kk_inac, hs.kk[:e]])
+        target = np.concatenate([np.asarray(hs.target_inac),
+                                 np.asarray(ds.target[:e])])
+        weight = np.concatenate([np.asarray(hs.weight_inac),
+                                 np.asarray(ds.weight[:e])])
+
+        self.normalize()
+
+        # pad to the next power-of-two capacity (bucketed recompiles)
+        E = len(ii)
+        cap = 1 << math.ceil(math.log2(max(E, 1024)))
+        pad = cap - E
+        ii_p = np.concatenate([ii, np.zeros(pad, np.int32)])
+        jj_p = np.concatenate([jj, np.zeros(pad, np.int32)])
+        kk_p = np.concatenate([kk, np.zeros(pad, np.int32)])
+        t_p = np.concatenate([target, np.zeros((pad, 2), np.float32)])
+        w_p = np.concatenate([weight, np.zeros((pad, 2), np.float32)])
+        v_p = np.arange(cap) < E
+
+        t0 = int(hs.ii[:e].min()) if e else 1
+        n_cap = 1 << math.ceil(math.log2(max(self.n - t0 + 1, 16)))
+        k_cap = 1 << math.ceil(math.log2(
+            max(len(np.unique(kk)) + 8, 1024)))
+
+        ds.poses, ds.patches = ba_ops.ba_iterative(
+            ds.poses, ds.patches, ds.intrinsics[0],
+            jnp.asarray(t_p), jnp.asarray(w_p), jnp.float32(1e-4),
+            jnp.asarray(ii_p), jnp.asarray(jj_p), jnp.asarray(kk_p),
+            jnp.asarray(v_p), jnp.int32(t0), jnp.int32(self.n),
+            n_cap=n_cap, k_cap=k_cap, iterations=2)
+        self.ran_global_ba[self.n] = True
+
+    def normalize(self):
+        """Rescale depths/poses (ref patchgraph.py:84-91)."""
+        ds, hs = self.ds, self.hs
+        n, M = self.n, self.M
+        patches = ds.patches
+        s = float(jnp.mean(patches[:n * M, 2]))
+        if not np.isfinite(s) or s <= 0:
+            return
+        ds.patches = patches.at[:n * M, 2].divide(s)
+        poses = ds.poses
+        poses = poses.at[:n, :3].multiply(s)
+        first_inv = lie.se3_inv(poses[0])
+        new_poses = lie.se3_mul(poses[:n], first_inv[None])
+        ds.poses = poses.at[:n].set(new_poses)
+        for t, (t0, dP) in hs.delta.items():
+            hs.delta[t] = (t0, np.asarray(lie.se3_scale(jnp.asarray(dP),
+                                                        s)))
+
+    def motionmag(self, i, j):
+        hs = self.hs
+        e = hs.e_num
+        k = (hs.ii[:e] == i) & (hs.jj[:e] == j)
+        cnt = int(k.sum())
+        if cnt == 0:
+            return 0.0
+        cap = 256
+        idx = np.nonzero(k)[0][:cap]
+        ii = np.zeros(cap, np.int32)
+        jj = np.zeros(cap, np.int32)
+        kk = np.zeros(cap, np.int32)
+        valid = np.zeros(cap, bool)
+        ii[:len(idx)] = hs.ii[idx]
+        jj[:len(idx)] = hs.jj[idx]
+        kk[:len(idx)] = hs.kk[idx]
+        valid[:len(idx)] = True
+        mag = kernels.flowmag_pair(
+            self.ds.poses, self.ds.patches, self.ds.intrinsics,
+            jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(kk),
+            jnp.asarray(valid))
+        return float(mag)
+
+    def keyframe(self):
+        """ref dpvo.py:266-310."""
+        cfg = self.cfg
+        hs, ds = self.hs, self.ds
+        i = self.n - cfg.KEYFRAME_INDEX - 1
+        j = self.n - cfg.KEYFRAME_INDEX + 1
+        m = self.motionmag(i, j) + self.motionmag(j, i)
+
+        if m / 2 < cfg.KEYFRAME_THRESH:
+            k = self.n - cfg.KEYFRAME_INDEX
+            t0 = hs.tstamps[k - 1]
+            t1 = hs.tstamps[k]
+            dP = np.asarray(lie.se3_mul(ds.poses[k],
+                                        lie.se3_inv(ds.poses[k - 1])))
+            hs.delta[int(t1)] = (int(t0), dP)
+
+            e = hs.e_num
+            to_remove = (hs.ii[:e] == k) | (hs.jj[:e] == k)
+            self.remove_factors(to_remove, store=False)
+
+            # shift indices above the removed frame (ref dpvo.py:283-285)
+            e = hs.e_num
+            mask_i = hs.ii[:e] > k
+            hs.kk[:e][mask_i] -= self.M
+            hs.ii[:e][mask_i] -= 1
+            hs.jj[:e][hs.jj[:e] > k] -= 1
+
+            (ds.poses, ds.patches, ds.intrinsics, ds.colors, ds.imap,
+             ds.gmap, ds.fmap1, ds.fmap2) = kernels.compact_frames(
+                ds.poses, ds.patches, ds.intrinsics, ds.colors,
+                ds.imap, ds.gmap, ds.fmap1, ds.fmap2,
+                jnp.int32(k), jnp.int32(self.n),
+                M=self.M, pmem=self.pmem, mem=self.mem,
+                shift_cap=cfg.KEYFRAME_INDEX + 2)
+
+            hs.tstamps[k:self.n - 1] = hs.tstamps[k + 1:self.n]
+            self.n -= 1
+            self.m -= self.M
+
+        # retire edges outside the removal window (ref dpvo.py:305-310)
+        e = hs.e_num
+        to_remove = (hs.kk[:e] // self.M) < self.n - cfg.REMOVAL_WINDOW
+        if cfg.LOOP_CLOSURE:
+            lc_edges = ((hs.jj[:e] - hs.ii[:e]) > 30) \
+                & (hs.jj[:e] > (self.n - cfg.OPTIMIZATION_WINDOW))
+            to_remove = to_remove & ~lc_edges
+        self.remove_factors(to_remove, store=True)
+
+    def motion_probe(self):
+        hs = self.hs
+        kk = np.arange(self.m - self.M, self.m, dtype=np.int32)
+        jj = np.full_like(kk, self.n)
+        ii = kk // self.M
+        mag = kernels.motion_probe(
+            self.params_update, self.ds.poses, self.ds.patches,
+            self.ds.intrinsics, self.ds.imap, self.ds.gmap,
+            self.ds.fmap1, self.ds.fmap2,
+            jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(kk),
+            update_mod=self.update_mod, M=self.M, pmem=self.pmem,
+            mem=self.mem)
+        return float(mag)
+
+    # --- loop-closure edge proposals (ref patchgraph.py:56-82) -------------
+
+    def edges_loop(self):
+        from ..loop_closure.proximity import propose_loop_edges
+        return propose_loop_edges(self)
+
+    # --- main entry --------------------------------------------------------
+
+    def __call__(self, tstamp, image, intrinsics):
+        """Track one frame.
+
+        image: (H, W, 3) uint8 BGR (numpy or jnp); intrinsics: (4,) at
+        full image resolution.
+        """
+        cfg = self.cfg
+        hs, ds = self.hs, self.ds
+
+        if (self.n + 1) >= self.N:
+            raise Exception(
+                f'The buffer size is too small. You can increase it using '
+                f'"--opts BUFFER_SIZE {self.N*2}"')
+
+        if self.viewer is not None:
+            self.viewer.update_image(np.asarray(image))
+
+        img = normalize_images(jnp.asarray(image))
+
+        # centroid selection
+        h, w = self.ht // self.RES, self.wd // self.RES
+        grad = None
+        if cfg.CENTROID_SEL_STRAT == "GRADIENT_BIAS":
+            grad = image_gradient(img[None])
+        coords = select_centroids(self.next_rng(), cfg.CENTROID_SEL_STRAT,
+                                  1, h, w, self.M, gradient=grad)[0]
+
+        fmap1, fmap2, gmap, imap, patches, clr = kernels.process_frame(
+            self.params_patchify, self.patchifier, img, coords)
+
+        # host state
+        hs.tlist.append(tstamp)
+        hs.tstamps[self.n] = hs.counter
+
+        # timestamp ratio for the motion model (ref dpvo.py:415-417)
+        *_, a, b, c = [1] * 3 + hs.tlist
+        fac = (c - b) / (b - a) if (b - a) != 0 else 1.0
+
+        (ds.poses, ds.patches, ds.intrinsics, ds.colors, ds.imap, ds.gmap,
+         ds.fmap1, ds.fmap2) = kernels.write_frame(
+            ds.poses, ds.patches, ds.intrinsics, ds.colors,
+            ds.imap, ds.gmap, ds.fmap1, ds.fmap2,
+            fmap1, fmap2, gmap, imap, patches, clr,
+            jnp.asarray(intrinsics, jnp.float32) / self.RES,
+            jnp.int32(self.n), jnp.float32(fac),
+            jnp.asarray(self.is_initialized), self.next_rng(),
+            M=self.M, pmem=self.pmem, mem=self.mem,
+            motion_damping=float(cfg.MOTION_DAMPING))
+
+        hs.counter += 1
+        if self.n > 0 and not self.is_initialized:
+            if self.motion_probe() < 2.0:
+                hs.delta[hs.counter - 1] = (hs.counter - 2,
+                                            np.asarray(lie.se3_identity()))
+                return
+
+        self.n += 1
+        self.m += self.M
+
+        if cfg.LOOP_CLOSURE:
+            if self.n - self.last_global_ba >= cfg.GLOBAL_OPT_FREQ:
+                lkk, ljj = self.edges_loop()
+                if len(lkk) > 0:
+                    self.last_global_ba = self.n
+                    self.append_factors(lkk, ljj)
+
+        self.append_factors(*self.__edges_forw())
+        self.append_factors(*self.__edges_back())
+
+        if self.n == 8 and not self.is_initialized:
+            self.is_initialized = True
+            for _ in range(12):
+                self.update()
+        elif self.is_initialized:
+            self.update()
+            self.keyframe()
+
+    # --- trajectory extraction --------------------------------------------
+
+    def get_pose(self, t):
+        """ref dpvo.py:166-171: chase delta chains for removed frames."""
+        if t in self.traj:
+            return self.traj[t]
+        t0, dP = self.hs.delta[t]
+        return np.asarray(lie.se3_mul(jnp.asarray(dP),
+                                      jnp.asarray(self.get_pose(t0))))
+
+    def terminate(self):
+        """ref dpvo.py:173-198 -> (poses (T, 7) xyz+quat, tstamps)."""
+        if self.cfg.LOOP_CLOSURE:
+            lkk, ljj = self.edges_loop()
+            if len(lkk) > 0:
+                self.append_factors(lkk, ljj)
+
+        for _ in range(12):
+            self.ran_global_ba[self.n] = False
+            self.update()
+
+        poses_np = np.asarray(self.ds.poses)
+        self.traj = {}
+        for i in range(self.n):
+            self.traj[int(self.hs.tstamps[i])] = poses_np[i]
+
+        poses = [self.get_pose(t) for t in range(self.hs.counter)]
+        poses = np.stack(poses, axis=0)
+        poses = np.asarray(lie.se3_inv(jnp.asarray(poses)))
+        tstamps = np.array(self.hs.tlist, dtype=np.float64)
+
+        if self.viewer is not None:
+            self.viewer.join()
+        return poses, tstamps
+
+    @property
+    def points(self):
+        ix = jnp.asarray(self.ix[:self.N * self.M])
+        return kernels.point_cloud(self.ds.poses, self.ds.patches,
+                                   self.ds.intrinsics, ix)

@@ -1,0 +1,270 @@
+"""Jitted device kernels for the SLAM engine.
+
+Each function here is one XLA program with static shapes; the host engine
+(``engine.dpvo.DPVO``) orchestrates them.  They rebuild, TPU-natively, the
+pieces the reference spreads across CUDA extensions and torch code:
+
+- ``process_frame``   — Patchifier forward on one frame (ref net.py:106-153)
+- ``write_frame``     — ring-buffer/state writes + motion model + depth init
+                        (ref dpvo.py:398-438)
+- ``update_step``     — the hot loop: reproject, two-level correlation,
+                        recurrent update, local BA (ref dpvo.py:328-356)
+- ``motion_probe``    — initialization motion check (ref dpvo.py:240-255)
+- ``flowmag_pair``    — keyframe motion magnitude (ref dpvo.py:257-264)
+- ``compact_frames``  — keyframe removal buffer shift (ref dpvo.py:280-300)
+- ``permute_edges``   — edge-table compaction by host-computed permutation
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import lie, projective as pops, corr as corr_ops, ba
+from ..models.vonet import Patchifier, image_gradient
+from ..models.update import Update, DIM
+
+
+# ---------------------------------------------------------------------------
+# frame feature extraction
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("patchifier",))
+def process_frame(params, patchifier: Patchifier, image, coords):
+    """One frame through the Patchifier.
+
+    image  (H, W, 3) float32 normalized (BGR, ref dpvo.py:389)
+    coords (M, 2) float32 centroids at feature resolution
+    Returns fmap1 (h, w, 128), fmap2 (h/4, w/4, 128), gmap (M, P, P, 128),
+    imap (M, DIM), patches (M, 3, P, P) f32, clr (M, 3) u8.
+    """
+    fmap, gmap, imap, patches, _, clr = patchifier.apply(
+        params, image[None], coords[None])
+    fmap1 = fmap[0]
+    fmap2 = corr_ops.avg_pool2d(fmap[0], 4)
+    clr_u8 = jnp.clip((clr[0][:, ::-1] + 0.5) * (255.0 / 2), 0, 255
+                      ).astype(jnp.uint8)
+    return fmap1, fmap2, gmap[0], imap[0], patches[0].astype(jnp.float32), \
+        clr_u8
+
+
+# ---------------------------------------------------------------------------
+# state writes for a new frame
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("M", "pmem", "mem", "motion_damping"),
+         donate_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+def write_frame(poses, patches_buf, intrinsics_buf, colors_buf,
+                imap_buf, gmap_buf, fmap1_buf, fmap2_buf,
+                fmap1, fmap2, gmap, imap, patches, clr,
+                intrinsics, n, fac, is_initialized, rng,
+                M, pmem, mem, motion_damping):
+    """All device writes for tracking a new frame (ref dpvo.py:398-438).
+
+    n dynamic int32; fac dynamic float (timestamp ratio for the damped
+    linear motion model); is_initialized dynamic bool.
+    """
+    n = jnp.asarray(n, jnp.int32)
+    P = patches.shape[-1]
+
+    # --- motion model (ref dpvo.py:410-424) ---
+    P1 = poses[jnp.maximum(n - 1, 0)]
+    P2 = poses[jnp.maximum(n - 2, 0)]
+    xi = motion_damping * fac * lie.se3_log(
+        lie.se3_mul(P1, lie.se3_inv(P2)))
+    pred = lie.se3_mul(lie.se3_exp(xi), P1)
+    new_pose = jnp.where(n > 1, pred, poses[jnp.maximum(n - 1, 0)])
+    new_pose = jnp.where(n > 0, new_pose, poses[0])
+    poses = poses.at[n].set(new_pose)
+
+    # --- depth init (ref dpvo.py:427-431) ---
+    rand_d = jax.random.uniform(rng, (M, 1, 1))
+    start = jnp.maximum(n - 3, 0) * M
+    recent = jax.lax.dynamic_slice(
+        patches_buf, (start, 0, 0, 0), (3 * M, 3, P, P))
+    med = jnp.median(recent[:, 2])
+    depth = jnp.where(is_initialized, jnp.full((M, 1, 1), med), rand_d)
+    patches = patches.at[:, 2].set(
+        jnp.broadcast_to(depth, (M, P, P)))
+
+    # --- table writes ---
+    patches_buf = jax.lax.dynamic_update_slice(
+        patches_buf, patches, (n * M, 0, 0, 0))
+    intrinsics_buf = intrinsics_buf.at[n].set(intrinsics)
+    colors_buf = colors_buf.at[n].set(clr)
+
+    slot_p = (n % pmem) * M
+    imap_buf = jax.lax.dynamic_update_slice(
+        imap_buf, imap.astype(imap_buf.dtype), (slot_p, 0))
+    gmap_buf = jax.lax.dynamic_update_slice(
+        gmap_buf, gmap.astype(gmap_buf.dtype), (slot_p, 0, 0, 0))
+    fmap1_buf = fmap1_buf.at[n % mem].set(fmap1.astype(fmap1_buf.dtype))
+    fmap2_buf = fmap2_buf.at[n % mem].set(fmap2.astype(fmap2_buf.dtype))
+
+    return (poses, patches_buf, intrinsics_buf, colors_buf,
+            imap_buf, gmap_buf, fmap1_buf, fmap2_buf)
+
+
+# ---------------------------------------------------------------------------
+# the hot loop: one optimization update
+# ---------------------------------------------------------------------------
+
+def _corr_features(gmap_buf, fmap1_buf, fmap2_buf, coords2, kk_mod, jj_mod):
+    """Two-level correlation, flattened (ref dpvo.py:200-207)."""
+    c1 = corr_ops.corr(gmap_buf, fmap1_buf, coords2, kk_mod, jj_mod, 3)
+    c2 = corr_ops.corr(gmap_buf, fmap2_buf, coords2 / 4.0, kk_mod, jj_mod, 3)
+    E = coords2.shape[0]
+    return jnp.stack([c1, c2], axis=-1).reshape(E, -1)
+
+
+@partial(jax.jit,
+         static_argnames=("update_mod", "M", "pmem", "mem", "n_cap",
+                          "k_cap", "iterations", "run_ba"),
+         donate_argnums=(1, 2, 8))
+def update_step(params, poses, patches_buf, intrinsics_buf,
+                imap_buf, gmap_buf, fmap1_buf, fmap2_buf,
+                net, ii, jj, kk, valid, t0, t1,
+                update_mod: Update, M, pmem, mem, n_cap, k_cap,
+                iterations=2, run_ba=True):
+    """Reproject -> correlate -> recurrent update -> bundle adjust
+    (ref dpvo.py:328-356).
+
+    All edge arrays are capacity-padded; ``valid`` masks live slots.
+    Returns (net', target, weight, delta, poses', patches_buf').
+    """
+    E = ii.shape[0]
+    P = patches_buf.shape[-1]
+    c = P // 2
+
+    # reproject all patch pixels (ref dpvo.py:209-213)
+    ii_s = jnp.where(valid, ii, 0)
+    jj_s = jnp.where(valid, jj, 0)
+    kk_s = jnp.where(valid, kk, 0)
+    coords = pops.transform(poses, patches_buf, intrinsics_buf,
+                            ii_s, jj_s, kk_s)          # (E, P, P, 2)
+    coords2 = coords.transpose(0, 3, 1, 2)             # (E, 2, P, P)
+
+    # two-level correlation (ref dpvo.py:200-207)
+    kk_mod = kk_s % (M * pmem)
+    jj_mod = jj_s % mem
+    corr_feat = _corr_features(gmap_buf, fmap1_buf, fmap2_buf,
+                               coords2, kk_mod, jj_mod)
+
+    ctx = imap_buf[kk_mod].astype(jnp.float32)
+    net, delta, weight = update_mod.apply(
+        params, net, ctx, corr_feat, ii_s, jj_s, kk_s, valid)
+
+    target = coords[:, c, c] + delta                   # (E, 2)
+    target = jnp.where(valid[:, None], target, 0.0)
+
+    if run_ba:
+        poses, patches_buf = ba.ba_iterative(
+            poses, patches_buf, intrinsics_buf[0], target, weight,
+            jnp.float32(1e-4), ii_s, jj_s, kk_s, valid, t0, t1,
+            n_cap=n_cap, k_cap=k_cap, iterations=iterations)
+
+    return net, target, weight, delta, poses, patches_buf
+
+
+@partial(jax.jit, static_argnames=("update_mod", "M", "pmem", "mem"))
+def motion_probe(params, poses, patches_buf, intrinsics_buf,
+                 imap_buf, gmap_buf, fmap1_buf, fmap2_buf,
+                 ii, jj, kk, update_mod: Update, M, pmem, mem):
+    """Median flow delta for the init motion check (ref dpvo.py:240-255)."""
+    E = ii.shape[0]
+    valid = jnp.ones((E,), bool)
+    net = jnp.zeros((E, DIM), jnp.float32)
+
+    coords = pops.transform(poses, patches_buf, intrinsics_buf, ii, jj, kk)
+    coords2 = coords.transpose(0, 3, 1, 2)
+    kk_mod = kk % (M * pmem)
+    corr_feat = _corr_features(gmap_buf, fmap1_buf, fmap2_buf, coords2,
+                               kk_mod, jj % mem)
+    ctx = imap_buf[kk_mod].astype(jnp.float32)
+    _, delta, _ = update_mod.apply(params, net, ctx, corr_feat,
+                                   ii, jj, kk, valid)
+    return jnp.quantile(jnp.linalg.norm(delta, axis=-1), 0.5)
+
+
+# ---------------------------------------------------------------------------
+# keyframing
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def flowmag_pair(poses, patches_buf, intrinsics_buf, ii, jj, kk, valid):
+    """Mean flow magnitude over masked edges (ref dpvo.py:257-264,
+    flow_mag with beta=0.5)."""
+    ii_s = jnp.where(valid, ii, 0)
+    jj_s = jnp.where(valid, jj, 0)
+    kk_s = jnp.where(valid, kk, 0)
+    flow, _ = pops.flow_mag(poses, patches_buf, intrinsics_buf,
+                            ii_s, jj_s, kk_s, beta=0.5)
+    m = valid[:, None, None].astype(jnp.float32)
+    cnt = jnp.maximum(m.sum() * flow.shape[1] * flow.shape[2], 1.0)
+    return jnp.sum(flow * m) / cnt
+
+
+@partial(jax.jit, static_argnames=("M", "pmem", "mem", "shift_cap"),
+         donate_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+def compact_frames(poses, patches_buf, intrinsics_buf, colors_buf,
+                   imap_buf, gmap_buf, fmap1_buf, fmap2_buf,
+                   k, n, M, pmem, mem, shift_cap):
+    """Remove keyframe slot ``k``: shift frames (k, n] down by one
+    (ref dpvo.py:287-297).  shift_cap bounds the ring-buffer shift length
+    (KEYFRAME_INDEX + 2 in practice)."""
+    N = poses.shape[0]
+    P = patches_buf.shape[-1]
+    idx = jnp.arange(N)
+    src = jnp.where(idx >= k, jnp.minimum(idx + 1, N - 1), idx)
+
+    poses = poses[src]
+    intrinsics_buf = intrinsics_buf[src]
+    colors_buf = colors_buf[src]
+    patches_buf = patches_buf.reshape(N, M, 3, P, P)[src].reshape(
+        N * M, 3, P, P)
+
+    # ring buffers: slots i%pmem <- (i+1)%pmem for i in [k, n-1)
+    offs = jnp.arange(shift_cap)
+    i_vals = k + offs
+    do = i_vals < n - 1
+    ring_src_p = jnp.arange(pmem)
+    ring_src_p = ring_src_p.at[jnp.where(do, i_vals % pmem, pmem)].set(
+        jnp.where(do, (i_vals + 1) % pmem, 0), mode="drop")
+    ring_src_m = jnp.arange(mem)
+    ring_src_m = ring_src_m.at[jnp.where(do, i_vals % mem, mem)].set(
+        jnp.where(do, (i_vals + 1) % mem, 0), mode="drop")
+
+    imap_buf = imap_buf.reshape(pmem, M, -1)[ring_src_p].reshape(
+        pmem * M, -1)
+    gmap_buf = gmap_buf.reshape(pmem, M, P, P, -1)[ring_src_p].reshape(
+        pmem * M, P, P, -1)
+    fmap1_buf = fmap1_buf[ring_src_m]
+    fmap2_buf = fmap2_buf[ring_src_m]
+
+    return (poses, patches_buf, intrinsics_buf, colors_buf,
+            imap_buf, gmap_buf, fmap1_buf, fmap2_buf)
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2))
+def permute_edges(net, target, weight, perm, zero_from):
+    """Compact edge rows by a host-computed permutation; rows at index >=
+    zero_from are cleared (freshly appended edges start with zero state,
+    ref dpvo.py:220-221)."""
+    net = net[perm]
+    target = target[perm]
+    weight = weight[perm]
+    row = jnp.arange(net.shape[0])[:, None]
+    net = jnp.where(row >= zero_from, 0.0, net)
+    target = jnp.where(row >= zero_from, 0.0, target)
+    weight = jnp.where(row >= zero_from, 0.0, weight)
+    return net, target, weight
+
+
+@jax.jit
+def point_cloud(poses, patches_buf, intrinsics_buf, ix):
+    """World points at patch centers for viz/export (ref dpvo.py:358-360)."""
+    pts = pops.point_cloud(poses, patches_buf, intrinsics_buf, ix)
+    c = patches_buf.shape[-1] // 2
+    ctr = pts[:, c, c]
+    return ctr[:, :3] / jnp.maximum(ctr[:, 3:], 1e-8)

@@ -1,0 +1,110 @@
+"""Neural network building blocks (flax.linen).
+
+Rebuild of the reference's dpvo/blocks.py: GatedResidual, SoftAgg,
+gradient-surgery ops.  Scatter attention uses static-capacity segment ids
+(XLA needs static shapes) and the gradient ops are `jax.custom_vjp`
+instead of torch autograd.Functions.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops import scatter
+
+# ref blocks.py:72
+GRAD_CLIP = 0.1
+
+
+# --- gradient surgery (ref blocks.py:74-107) -------------------------------
+
+@jax.custom_vjp
+def grad_clip(x):
+    """Identity fwd; bwd: NaN->0 then clamp to ±0.01 (ref GradClip)."""
+    return x
+
+
+def _grad_clip_fwd(x):
+    return x, None
+
+
+def _grad_clip_bwd(_, g):
+    g = jnp.where(jnp.isnan(g), 0.0, g)
+    return (jnp.clip(g, -0.01, 0.01),)
+
+
+grad_clip.defvjp(_grad_clip_fwd, _grad_clip_bwd)
+
+
+@jax.custom_vjp
+def grad_zero(x):
+    """Identity fwd; bwd: NaN->0 and |g| > GRAD_CLIP -> 0 (ref GradZero)."""
+    return x
+
+
+def _grad_zero_fwd(x):
+    return x, None
+
+
+def _grad_zero_bwd(_, g):
+    g = jnp.where(jnp.isnan(g), 0.0, g)
+    g = jnp.where(jnp.abs(g) > GRAD_CLIP, 0.0, g)
+    return (g,)
+
+
+grad_zero.defvjp(_grad_zero_fwd, _grad_zero_bwd)
+
+
+# --- modules ---------------------------------------------------------------
+
+class GatedResidual(nn.Module):
+    """x + sigmoid(W_g x) * MLP(x)  (ref blocks.py:15-29)."""
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        gate = nn.sigmoid(nn.Dense(self.dim, dtype=self.dtype,
+                                   name="gate")(x))
+        res = nn.Dense(self.dim, dtype=self.dtype, name="res1")(x)
+        res = nn.relu(res)
+        res = nn.Dense(self.dim, dtype=self.dtype, name="res2")(res)
+        return x + gate * res
+
+
+class SoftAgg(nn.Module):
+    """Scatter-softmax attention pooling over groups, re-broadcast
+    (ref blocks.py:31-48).
+
+    The torch version computes group ids with ``torch.unique``; here the
+    caller passes precomputed segment ids ``jx`` in [0, num_groups) plus a
+    validity mask — invalid rows are routed to a trash group and contribute
+    nothing.
+    """
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, jx, num_groups, valid=None):
+        # E rows; one extra trash group for masked rows
+        if valid is not None:
+            jx = jnp.where(valid, jx, num_groups)
+        S = num_groups + 1
+        f = nn.Dense(self.dim, dtype=self.dtype, name="f")(x)
+        g = nn.Dense(self.dim, dtype=self.dtype, name="g")(x)
+        # softmax weights computed in fp32 for stability
+        w = scatter.scatter_softmax(g.astype(jnp.float32), jx, S)
+        y = scatter.scatter_sum(f * w.astype(f.dtype), jx, S)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="h")(y)
+        return h[jx]
+
+
+class LayerNorm1D(nn.Module):
+    """LayerNorm with eps=1e-4 (ref blocks.py:7-13)."""
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.LayerNorm(epsilon=1e-4, dtype=self.dtype)(x)

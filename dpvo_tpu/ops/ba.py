@@ -1,0 +1,383 @@
+"""Bundle adjustment: Gauss-Newton with Schur complement over keyframe
+poses (6-dof) and per-patch inverse depths (1-dof).
+
+Two variants, mirroring the reference:
+
+- ``ba_iterative``  — inference twin of the cuda_ba extension
+  (ref dpvo/fastba/ba_cuda.cu:232-582): non-differentiable fixed-iteration
+  GN with the reference's robust masks (residual < 128 px, Z > 0.2,
+  ±64 px in-bounds), damping ``S += I*(1e-4*S + 1)`` (ba_cuda.cu:546,560),
+  and depth-reset retraction (d > 20 -> 1.0, clamp >= 1e-4,
+  patch_retr_kernel ba_cuda.cu:209-228).
+
+- ``ba_differentiable`` — training twin of the autodiff BA
+  (ref dpvo/ba.py:86-182): bounds-based masks, damping
+  ``A += (ep + lm*A)*I`` and the [1e-3, 10] depth clamp, fully
+  differentiable through the Cholesky solve.
+
+TPU-native design: no atomics — Hessian blocks are built with vectorized
+outer products and scatter-adds (XLA lowers them to deterministic
+scatter); the dense (6N, 6N) system stays small (N = optimization window)
+and the Cholesky solve maps to the MXU.  All shapes are static: edges come
+in fixed-capacity tables with validity masks, and the unique-patch set is
+compacted to a static bound with ``scatter.compactify``.  All math fp32
+with HIGHEST matmul precision (matching the reference's fp32 accumulators,
+block_e.cuh:7).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import lie, scatter
+
+_HI = jax.lax.Precision.HIGHEST
+_INT_MAX = jnp.iinfo(jnp.int32).max
+
+
+def _edge_terms_center(poses, patches, fx, fy, cx, cy, target, ii, jj, kk):
+    """Per-edge residuals and Jacobians at the central patch pixel,
+    literal rebuild of reprojection_residuals_and_hessian
+    (ba_cuda.cu:265-333).
+
+    Returns r (E,2), w_mask (E,), Ji (E,2,6), Jj (E,2,6), Jz (E,2).
+    """
+    P = patches.shape[-1]
+    c = P // 2
+    gi = poses[ii]
+    gj = poses[jj]
+    Gij = lie.se3_mul(gj, lie.se3_inv(gi))
+    tij, qij = Gij[:, :3], Gij[:, 3:7]
+
+    Xi = jnp.stack([
+        (patches[kk, 0, c, c] - cx) / fx,
+        (patches[kk, 1, c, c] - cy) / fy,
+        jnp.ones_like(patches[kk, 2, c, c]),
+        patches[kk, 2, c, c],
+    ], axis=-1)
+    Xj = lie.se3_act4(Gij, Xi)
+    X, Y, Z, W = Xj[:, 0], Xj[:, 1], Xj[:, 2], Xj[:, 3]
+
+    d = jnp.where(Z >= 0.2, 1.0 / jnp.where(Z >= 0.2, Z, 1.0), 0.0)
+    d2 = d * d
+
+    Zsafe = jnp.where(jnp.abs(Z) > 1e-6, Z, 1e-6)
+    x1 = fx * (X / Zsafe) + cx
+    y1 = fy * (Y / Zsafe) + cy
+
+    rx = target[:, 0] - x1
+    ry = target[:, 1] - y1
+    r = jnp.stack([rx, ry], axis=-1)
+
+    in_bounds = ((jnp.sqrt(rx * rx + ry * ry) < 128) & (Z > 0.2)
+                 & (x1 > -64) & (y1 > -64)
+                 & (x1 < 2 * cx + 64) & (y1 < 2 * cy + 64))
+    mask = in_bounds.astype(jnp.float32)
+
+    o = jnp.zeros_like(d)
+    # row x (ba_cuda.cu:317-323)
+    Jz_x = fx * (tij[:, 0] * d - tij[:, 2] * (X * d2))
+    Jj_x = jnp.stack([fx * W * d, o, fx * -X * W * d2,
+                      fx * -X * Y * d2, fx * (1 + X * X * d2),
+                      fx * -Y * d], axis=-1)
+    # row y (ba_cuda.cu:325-331)
+    Jz_y = fy * (tij[:, 1] * d - tij[:, 2] * (Y * d2))
+    Jj_y = jnp.stack([o, fy * W * d, fy * -Y * W * d2,
+                      fy * (-1 - Y * Y * d2), fy * (X * Y * d2),
+                      fy * X * d], axis=-1)
+
+    Jj_rows = jnp.stack([Jj_x, Jj_y], axis=1)              # (E, 2, 6)
+    Ji_rows = lie.se3_adjT(Gij[:, None], Jj_rows)          # adjSE3 (cu:337)
+    Jz_rows = jnp.stack([Jz_x, Jz_y], axis=1)              # (E, 2)
+
+    return r, mask, Ji_rows, Jj_rows, Jz_rows
+
+
+@partial(jax.jit, static_argnames=("n_cap", "k_cap", "iterations"))
+def ba_iterative(poses, patches, intrinsics, target, weight, lmbda,
+                 ii, jj, kk, valid, t0, t1, n_cap, k_cap, iterations=2):
+    """Inference BA (twin of cuda_ba, ba_cuda.cu:433-582).
+
+    poses      (Np, 7) fp32
+    patches    (Kp, 3, P, P) fp32 (flat patch table)
+    intrinsics (4,) shared [fx, fy, cx, cy] (the CUDA kernel reads
+               intrinsics[0] only, ba_cuda.cu:254-258)
+    target, weight (E, 2) fp32; lmbda scalar
+    ii, jj, kk (E,) int32; valid (E,) bool
+    t0, t1     dynamic ints — poses in [t0, t1) are free
+    n_cap      static pose-block capacity (>= t1 - t0)
+    k_cap      static unique-patch capacity
+    Returns (poses', patches').
+    """
+    poses = jnp.asarray(poses, jnp.float32)
+    patches = jnp.asarray(patches, jnp.float32)
+    target = jnp.asarray(target, jnp.float32)
+    weight = jnp.asarray(weight, jnp.float32)
+    fx, fy, cx, cy = [jnp.asarray(intrinsics[i], jnp.float32)
+                      for i in range(4)]
+    E = ii.shape[0]
+    P = patches.shape[-1]
+
+    # compact the touched patch set to k_cap slots (cuda: torch::_unique)
+    kk_m = jnp.where(valid, kk, _INT_MAX)
+    kx, ku = scatter.compactify(kk_m, size=k_cap)
+    k_real = kx != _INT_MAX                                 # (k_cap,)
+
+    def iteration(_, state):
+        poses, patches = state
+
+        r, mask, Ji, Jj, Jz = _edge_terms_center(
+            poses, patches, fx, fy, cx, cy, target, ii, jj, kk)
+
+        w = mask[:, None] * weight * valid[:, None]         # (E, 2)
+
+        # local pose indices; contributions from fixed poses are masked
+        li = ii - t0
+        lj = jj - t0
+        vi = (li >= 0) & (li < n_cap) & valid
+        vj = (lj >= 0) & (lj < n_cap) & valid
+        lic = jnp.clip(li, 0, n_cap - 1)
+        ljc = jnp.clip(lj, 0, n_cap - 1)
+
+        wi = w * vi[:, None]
+        wj = w * vj[:, None]
+        wij = w * (vi & vj)[:, None]
+
+        # 6x6 pose blocks (outer products over the 2 residual rows)
+        Bii_e = jnp.einsum("er,era,erb->eab", wi, Ji, Ji, precision=_HI)
+        Bjj_e = jnp.einsum("er,era,erb->eab", wj, Jj, Jj, precision=_HI)
+        Bij_e = jnp.einsum("er,era,erb->eab", wij, Ji, Jj, precision=_HI)
+
+        D = 6 * n_cap
+        B = jnp.zeros((D, D), jnp.float32)
+        a_idx = jnp.arange(6)
+        row_i = (lic[:, None] * 6 + a_idx)                  # (E, 6)
+        row_j = (ljc[:, None] * 6 + a_idx)
+
+        def add_block(B, rows, cols, blk):
+            return B.at[rows[:, :, None], cols[:, None, :]].add(blk)
+
+        B = add_block(B, row_i, row_i, Bii_e)
+        B = add_block(B, row_j, row_j, Bjj_e)
+        B = add_block(B, row_i, row_j, -Bij_e)
+        B = add_block(B, row_j, row_i, -Bij_e.transpose(0, 2, 1))
+
+        # E blocks (pose-depth coupling), C, v, u
+        Ei_e = -jnp.einsum("er,er,era->ea", wi, Jz, Ji, precision=_HI)
+        Ej_e = jnp.einsum("er,er,era->ea", wj, Jz, Jj, precision=_HI)
+        Emat = jnp.zeros((D, k_cap), jnp.float32)
+        Emat = Emat.at[row_i, ku[:, None]].add(Ei_e)
+        Emat = Emat.at[row_j, ku[:, None]].add(Ej_e)
+
+        vi_e = -jnp.einsum("er,er,era->ea", wi, r, Ji, precision=_HI)
+        vj_e = jnp.einsum("er,er,era->ea", wj, r, Jj, precision=_HI)
+        vvec = jnp.zeros((D,), jnp.float32)
+        vvec = vvec.at[row_i].add(vi_e)
+        vvec = vvec.at[row_j].add(vj_e)
+
+        C = jax.ops.segment_sum(jnp.sum(w * Jz * Jz, axis=1), ku, k_cap)
+        u = jax.ops.segment_sum(jnp.sum(w * r * Jz, axis=1), ku, k_cap)
+
+        Q = 1.0 / (C + lmbda)                               # (k_cap,)
+
+        # Schur complement (ba_cuda.cu:552-563)
+        EQ = Emat * Q[None, :]
+        S = B - jnp.matmul(EQ, Emat.T, precision=_HI)
+        y = vvec - jnp.matmul(EQ, u, precision=_HI)
+
+        # damping: S += I * (1e-4 * S + 1)  (ba_cuda.cu:560)
+        diag = jnp.diagonal(S)
+        S = S + jnp.diag(1e-4 * diag + 1.0)
+
+        # solve; on failure (non-PD) skip the update like the python
+        # wrapper's try/except (dpvo.py:355-356)
+        L, lower = jax.scipy.linalg.cho_factor(S, lower=True)
+        dX = jax.scipy.linalg.cho_solve((L, lower), y)
+        ok = jnp.all(jnp.isfinite(dX))
+        dX = jnp.where(ok, dX, 0.0)
+
+        dZ = Q * (u - jnp.matmul(Emat.T, dX, precision=_HI))
+        dZ = jnp.where(ok, dZ, 0.0)
+
+        # pose retraction for poses [t0, t1) (pose_retr_kernel cu:178-206)
+        dX_blocks = dX.reshape(n_cap, 6)
+        pose_slot = jnp.arange(poses.shape[0])
+        lp = pose_slot - t0
+        free = (lp >= 0) & (pose_slot < t1)
+        dxi = jnp.where(free[:, None],
+                        dX_blocks[jnp.clip(lp, 0, n_cap - 1)], 0.0)
+        poses = jnp.where(free[:, None], lie.se3_retr(poses, dxi), poses)
+
+        # patch retraction (patch_retr_kernel cu:209-228)
+        kx_c = jnp.clip(kx, 0, patches.shape[0] - 1)
+        d_old = patches[kx_c, 2, 0, 0]
+        d_new = d_old + dZ
+        d_new = jnp.where(d_new > 20.0, 1.0, d_new)
+        d_new = jnp.maximum(d_new, 1e-4)
+        d_new = jnp.where(k_real, d_new, d_old)
+        patches = patches.at[kx_c, 2].set(
+            jnp.broadcast_to(d_new[:, None, None], (k_cap, P, P)),
+            mode="drop")
+
+        return poses, patches
+
+    poses, patches = jax.lax.fori_loop(0, iterations, iteration,
+                                       (poses, patches))
+    return poses, patches
+
+
+# ---------------------------------------------------------------------------
+# Differentiable training BA (twin of dpvo/ba.py)
+# ---------------------------------------------------------------------------
+
+def _transform_with_jacobian(poses, patches, intrinsics, ii, jj, kk):
+    """Center-pixel transform + Jacobians in the training-BA convention
+    (ref projective_ops.transform(jacobian=True), ba.py:92-93).
+
+    intrinsics here is per-frame (N, 4) like the training path.
+    """
+    from . import projective as pops
+    return pops.transform(poses, patches, intrinsics, ii, jj, kk,
+                          jacobian=True)
+
+
+@partial(jax.jit, static_argnames=("k_cap", "fixedp", "structure_only"))
+def ba_differentiable(poses, patches, intrinsics, targets, weights, lmbda,
+                      ii, jj, kk, valid, bounds, ep=10.0, fixedp=1,
+                      structure_only=False, k_cap=None):
+    """Differentiable GN step with Schur complement (ref ba.py:86-182).
+
+    poses (N, 7), patches (K, 3, P, P), intrinsics (N, 4),
+    targets/weights (E, 2), ii/jj/kk (E,), valid (E,) bool,
+    bounds [x0, y0, x1, y1].
+    The number of free poses is N - fixedp (static); k_cap bounds the
+    unique patch count (defaults to E).
+    """
+    from . import projective as pops
+
+    N = poses.shape[0]
+    E = ii.shape[0]
+    if k_cap is None:
+        k_cap = E
+    poses = jnp.asarray(poses, jnp.float32)
+    patches = jnp.asarray(patches, jnp.float32)
+    targets = jnp.asarray(targets, jnp.float32)
+    weights = jnp.asarray(weights, jnp.float32)
+
+    coords, v, (Ji, Jj, Jz) = pops.transform(
+        poses, patches, intrinsics, ii, jj, kk, jacobian=True)
+
+    P = coords.shape[1]
+    c = P // 2
+    r = targets - coords[:, c, c]                           # (E, 2)
+
+    v = v * (jnp.linalg.norm(r, axis=-1) < 250)             # ref ba.py:98
+    in_bounds = ((coords[:, c, c, 0] > bounds[0])
+                 & (coords[:, c, c, 1] > bounds[1])
+                 & (coords[:, c, c, 0] < bounds[2])
+                 & (coords[:, c, c, 1] < bounds[3]))
+    v = v * in_bounds * valid
+
+    r = v[:, None] * r
+    w = v[:, None] * weights
+
+    # weighted Jacobian products (ref ba.py:114-127)
+    wJi = w[:, :, None] * Ji
+    wJj = w[:, :, None] * Jj
+    wJz = w[:, :, None] * Jz                                # (E, 2, 1)
+
+    Bii = jnp.einsum("era,erb->eab", wJi, Ji, precision=_HI)
+    Bij = jnp.einsum("era,erb->eab", wJi, Jj, precision=_HI)
+    Bji = jnp.einsum("era,erb->eab", wJj, Ji, precision=_HI)
+    Bjj = jnp.einsum("era,erb->eab", wJj, Jj, precision=_HI)
+
+    Eik = jnp.einsum("era,erb->eab", wJi, Jz, precision=_HI)  # (E, 6, 1)
+    Ejk = jnp.einsum("era,erb->eab", wJj, Jz, precision=_HI)
+
+    vi = jnp.einsum("era,er->ea", wJi, r, precision=_HI)
+    vj = jnp.einsum("era,er->ea", wJj, r, precision=_HI)
+
+    Ck = jnp.einsum("era,era->e", wJz, Jz, precision=_HI)
+    uk = jnp.einsum("era,er->e", wJz, r, precision=_HI)
+
+    # fix first `fixedp` poses (ref ba.py:129-135)
+    n = N - fixedp
+    ii_ = ii - fixedp
+    jj_ = jj - fixedp
+
+    kk_m = jnp.where(valid, kk, _INT_MAX)
+    kx, ku = scatter.compactify(kk_m, size=k_cap)
+    k_real = kx != _INT_MAX
+
+    def safe_mat(blk, a, b, na, nb):
+        ok = (a >= 0) & (b >= 0) & (a < na) & (b < nb)
+        idx = jnp.where(ok, a * nb + b, na * nb)
+        out = jax.ops.segment_sum(
+            jnp.where(ok[:, None, None], blk, 0.0), idx,
+            num_segments=na * nb + 1)
+        return out[:-1]
+
+    def safe_vec(vec, a, na):
+        ok = (a >= 0) & (a < na)
+        idx = jnp.where(ok, a, na)
+        out = jax.ops.segment_sum(
+            jnp.where(ok.reshape((-1,) + (1,) * (vec.ndim - 1)), vec, 0.0),
+            idx, num_segments=na + 1)
+        return out[:-1]
+
+    B = (safe_mat(Bii, ii_, ii_, n, n) + safe_mat(Bij, ii_, jj_, n, n)
+         + safe_mat(Bji, jj_, ii_, n, n) + safe_mat(Bjj, jj_, jj_, n, n))
+    B = B.reshape(n, n, 6, 6)
+
+    Em = safe_mat(Eik, ii_, ku, n, k_cap) + safe_mat(Ejk, jj_, ku, n, k_cap)
+    Em = Em.reshape(n, k_cap, 6)
+
+    C = safe_vec(Ck, ku, k_cap)
+    u = safe_vec(uk, ku, k_cap)
+    vv = safe_vec(vi, ii_, n) + safe_vec(vj, jj_, n)        # (n, 6)
+
+    Q = 1.0 / (C + lmbda)                                   # (k_cap,)
+
+    EQ = Em * Q[None, :, None]                              # (n, k_cap, 6)
+
+    if structure_only or n == 0:
+        dZ = Q * u
+        dX = jnp.zeros((n, 6), jnp.float32)
+    else:
+        # S = B - E Q E^T as a dense (6n, 6n) system (ref ba.py:167-173)
+        Bm = B.transpose(0, 2, 1, 3).reshape(6 * n, 6 * n)
+        Ef = Em.transpose(0, 2, 1).reshape(6 * n, k_cap)
+        EQf = EQ.transpose(0, 2, 1).reshape(6 * n, k_cap)
+        S = Bm - jnp.matmul(EQf, Ef.T, precision=_HI)
+        y = vv.reshape(6 * n) - jnp.matmul(EQf, u, precision=_HI)
+
+        # damping A += (ep + lm*A) * I  (ref blocks block_solve ba.py:73)
+        diag = jnp.diagonal(S)
+        S = S + jnp.diag(ep + 1e-4 * diag)
+
+        L, lower = jax.scipy.linalg.cho_factor(S, lower=True)
+        dX = jax.scipy.linalg.cho_solve((L, lower), y)
+        ok = jnp.all(jnp.isfinite(dX))
+        dX = jnp.where(ok, dX, 0.0)
+
+        dZ = Q * (u - jnp.matmul(Ef.T, dX, precision=_HI))
+        dZ = jnp.where(ok, dZ, 0.0)
+        dX = dX.reshape(n, 6)
+
+    # depth retraction + clamp (ref ba.py:175-177)
+    K = patches.shape[0]
+    dZ_full = jnp.zeros((K,), jnp.float32).at[
+        jnp.clip(kx, 0, K - 1)].add(jnp.where(k_real, dZ, 0.0), mode="drop")
+    disps = patches[:, 2] + dZ_full[:, None, None]
+    disps = jnp.clip(disps, 1e-3, 10.0)
+    patches = patches.at[:, 2].set(disps)
+
+    # pose retraction (ref ba.py:179-180)
+    if not structure_only and n > 0:
+        dxi = jnp.concatenate([jnp.zeros((fixedp, 6), jnp.float32), dX],
+                              axis=0)
+        poses = lie.se3_retr(poses, dxi)
+
+    return poses, patches

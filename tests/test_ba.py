@@ -1,0 +1,222 @@
+"""Bundle adjustment tests: convergence on synthetic problems.
+
+Strategy (SURVEY.md §4): build a ground-truth scene, compute exact
+reprojection targets, perturb poses/depths, and verify GN recovers them.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dpvo_tpu.ops import lie, projective as pops, ba
+
+KEY = jax.random.PRNGKey(11)
+
+
+def build_problem(key, n_frames=6, patches_per_frame=24, P=3):
+    """Ground-truth scene + exact targets for all pairwise edges."""
+    ks = jax.random.split(key, 8)
+    # smooth forward trajectory with small rotations
+    xi = jax.random.normal(ks[0], (n_frames, 6)) * 0.03
+    xi = xi.at[:, 0].add(jnp.arange(n_frames) * 0.12)  # translate in x
+    poses_gt = lie.se3_exp(xi)
+
+    K = n_frames * patches_per_frame
+    cx = jax.random.uniform(ks[1], (K, 1, 1), minval=25, maxval=135)
+    cy = jax.random.uniform(ks[2], (K, 1, 1), minval=20, maxval=100)
+    d = jax.random.uniform(ks[3], (K, 1, 1), minval=0.5, maxval=1.5)
+    off = jnp.arange(P, dtype=jnp.float32) - P // 2
+    patches_gt = jnp.stack([
+        jnp.broadcast_to(cx + off[None, None, :], (K, P, P)),
+        jnp.broadcast_to(cy + off[None, :, None], (K, P, P)),
+        jnp.broadcast_to(d, (K, P, P))], axis=1)
+
+    intr = jnp.array([120.0, 120.0, 80.0, 60.0])
+    intr_frames = jnp.tile(intr[None], (n_frames, 1))
+
+    # edges: each patch into every frame within +-2
+    ii_l, jj_l, kk_l = [], [], []
+    for fi in range(n_frames):
+        for fj in range(n_frames):
+            if fi != fj and abs(fi - fj) <= 2:
+                for m in range(patches_per_frame):
+                    ii_l.append(fi)
+                    jj_l.append(fj)
+                    kk_l.append(fi * patches_per_frame + m)
+    ii = jnp.array(ii_l)
+    jj = jnp.array(jj_l)
+    kk = jnp.array(kk_l)
+
+    coords = pops.transform(poses_gt, patches_gt, intr_frames, ii, jj, kk)
+    target = coords[:, P // 2, P // 2]  # exact center reprojections
+
+    return poses_gt, patches_gt, intr, intr_frames, target, ii, jj, kk
+
+
+def ate(poses_a, poses_b):
+    """RMS translation error after first-pose alignment."""
+    rel_a = lie.se3_mul(poses_a, lie.se3_inv(poses_a[:1]))
+    rel_b = lie.se3_mul(poses_b, lie.se3_inv(poses_b[:1]))
+    return float(jnp.sqrt(jnp.mean(
+        jnp.sum((rel_a[:, :3] - rel_b[:, :3]) ** 2, axis=-1))))
+
+
+class TestIterativeBA:
+    def test_recovers_perturbed_poses(self):
+        (poses_gt, patches_gt, intr, _, target, ii, jj, kk) = build_problem(
+            KEY)
+        n_frames = poses_gt.shape[0]
+
+        # perturb all but the first two poses
+        noise = jax.random.normal(jax.random.PRNGKey(5),
+                                  (n_frames, 6)) * 0.02
+        noise = noise.at[:2].set(0.0)
+        poses0 = lie.se3_retr(poses_gt, noise)
+
+        err0 = ate(poses0, poses_gt)
+        E = ii.shape[0]
+        weight = jnp.ones((E, 2))
+        valid = jnp.ones((E,), dtype=bool)
+
+        poses1, patches1 = ba.ba_iterative(
+            poses0, patches_gt, intr, target, weight, 1e-4,
+            ii, jj, kk, valid, jnp.int32(1), jnp.int32(n_frames),
+            n_cap=8, k_cap=256, iterations=6)
+
+        err1 = ate(poses1, poses_gt)
+        assert err1 < 0.2 * err0, (err0, err1)
+
+    def test_recovers_perturbed_depths(self):
+        (poses_gt, patches_gt, intr, _, target, ii, jj, kk) = build_problem(
+            KEY)
+        n_frames = poses_gt.shape[0]
+        K = patches_gt.shape[0]
+
+        dnoise = jax.random.uniform(jax.random.PRNGKey(6), (K, 1, 1),
+                                    minval=0.7, maxval=1.4)
+        patches0 = patches_gt.at[:, 2].multiply(dnoise)
+
+        E = ii.shape[0]
+        poses1, patches1 = ba.ba_iterative(
+            poses_gt, patches0, intr, target, jnp.ones((E, 2)), 1e-4,
+            ii, jj, kk, jnp.ones((E,), bool), jnp.int32(1),
+            jnp.int32(n_frames), n_cap=8, k_cap=256, iterations=8)
+
+        d_err0 = float(jnp.abs(patches0[:, 2, 1, 1]
+                               - patches_gt[:, 2, 1, 1]).mean())
+        d_err1 = float(jnp.abs(patches1[:, 2, 1, 1]
+                               - patches_gt[:, 2, 1, 1]).mean())
+        assert d_err1 < 0.3 * d_err0, (d_err0, d_err1)
+
+    def test_invalid_edges_ignored(self):
+        (poses_gt, patches_gt, intr, _, target, ii, jj, kk) = build_problem(
+            KEY, n_frames=4, patches_per_frame=8)
+        n_frames = 4
+        E = ii.shape[0]
+
+        # poison half the targets but mark them invalid
+        target_bad = target.at[E // 2:].set(1e6)
+        valid = jnp.arange(E) < E // 2
+
+        poses1, _ = ba.ba_iterative(
+            poses_gt, patches_gt, intr, target_bad, jnp.ones((E, 2)), 1e-4,
+            ii, jj, kk, valid, jnp.int32(1), jnp.int32(n_frames),
+            n_cap=6, k_cap=64, iterations=2)
+        # GT poses + exact targets on the valid half => no motion
+        np.testing.assert_allclose(np.asarray(poses1), np.asarray(poses_gt),
+                                   atol=1e-3)
+
+    def test_fixed_poses_stay_fixed(self):
+        (poses_gt, patches_gt, intr, _, target, ii, jj, kk) = build_problem(
+            KEY, n_frames=5, patches_per_frame=8)
+        E = ii.shape[0]
+        noise = jax.random.normal(jax.random.PRNGKey(7), (5, 6)) * 0.03
+        poses0 = lie.se3_retr(poses_gt, noise)
+        poses1, _ = ba.ba_iterative(
+            poses0, patches_gt, intr, target, jnp.ones((E, 2)), 1e-4,
+            ii, jj, kk, jnp.ones((E,), bool), jnp.int32(2), jnp.int32(5),
+            n_cap=4, k_cap=64, iterations=2)
+        np.testing.assert_allclose(np.asarray(poses1[:2]),
+                                   np.asarray(poses0[:2]))
+
+    def test_structure_only_window(self):
+        """t1 == t0 -> only depths update (cuda_ba branch :521-531)."""
+        (poses_gt, patches_gt, intr, _, target, ii, jj, kk) = build_problem(
+            KEY, n_frames=4, patches_per_frame=8)
+        E = ii.shape[0]
+        patches0 = patches_gt.at[:, 2].multiply(1.3)
+        poses1, patches1 = ba.ba_iterative(
+            poses_gt, patches0, intr, target, jnp.ones((E, 2)), 1e-4,
+            ii, jj, kk, jnp.ones((E,), bool), jnp.int32(4), jnp.int32(4),
+            n_cap=4, k_cap=64, iterations=4)
+        np.testing.assert_allclose(np.asarray(poses1), np.asarray(poses_gt))
+        d_err0 = float(jnp.abs(patches0[:, 2, 1, 1]
+                               - patches_gt[:, 2, 1, 1]).mean())
+        d_err1 = float(jnp.abs(patches1[:, 2, 1, 1]
+                               - patches_gt[:, 2, 1, 1]).mean())
+        assert d_err1 < 0.5 * d_err0
+
+
+class TestDifferentiableBA:
+    def test_reduces_reprojection_error(self):
+        (poses_gt, patches_gt, intr, intr_f, target, ii, jj,
+         kk) = build_problem(KEY)
+        n_frames = poses_gt.shape[0]
+        E = ii.shape[0]
+
+        noise = jax.random.normal(jax.random.PRNGKey(8),
+                                  (n_frames, 6)) * 0.02
+        noise = noise.at[0].set(0.0)
+        poses0 = lie.se3_retr(poses_gt, noise)
+
+        bounds = jnp.array([-64.0, -64.0, 160 + 64.0, 120 + 64.0])
+        valid = jnp.ones((E,), bool)
+
+        def reproj_err(poses, patches):
+            c = pops.transform(poses, patches, intr_f, ii, jj, kk)
+            return float(jnp.linalg.norm(target - c[:, 1, 1],
+                                         axis=-1).mean())
+
+        err0 = reproj_err(poses0, patches_gt)
+        poses1, patches1 = poses0, patches_gt
+        for _ in range(4):
+            poses1, patches1 = ba.ba_differentiable(
+                poses1, patches1, intr_f, target, jnp.ones((E, 2)), 1e-4,
+                ii, jj, kk, valid, bounds, ep=10.0, fixedp=1, k_cap=256)
+        err1 = reproj_err(poses1, patches1)
+        assert err1 < 0.5 * err0, (err0, err1)
+
+    def test_gradients_flow(self):
+        (poses_gt, patches_gt, intr, intr_f, target, ii, jj,
+         kk) = build_problem(KEY, n_frames=4, patches_per_frame=6)
+        E = ii.shape[0]
+        bounds = jnp.array([-64.0, -64.0, 160 + 64.0, 120 + 64.0])
+
+        def loss(weights, targets):
+            p1, _ = ba.ba_differentiable(
+                poses_gt, patches_gt, intr_f, targets, weights, 1e-4,
+                ii, jj, kk, jnp.ones((E,), bool), bounds, ep=10.0,
+                fixedp=1, k_cap=64)
+            return jnp.sum(p1[:, :3] ** 2)
+
+        g_w, g_t = jax.grad(loss, argnums=(0, 1))(
+            jnp.ones((E, 2)), target + 1.0)
+        assert np.all(np.isfinite(np.asarray(g_w)))
+        assert np.all(np.isfinite(np.asarray(g_t)))
+        assert np.abs(np.asarray(g_t)).sum() > 0
+
+    def test_structure_only(self):
+        (poses_gt, patches_gt, intr, intr_f, target, ii, jj,
+         kk) = build_problem(KEY, n_frames=4, patches_per_frame=6)
+        E = ii.shape[0]
+        bounds = jnp.array([-64.0, -64.0, 160 + 64.0, 120 + 64.0])
+        patches0 = patches_gt.at[:, 2].multiply(1.2)
+        poses1, patches1 = ba.ba_differentiable(
+            poses_gt, patches0, intr_f, target, jnp.ones((E, 2)), 1e-4,
+            ii, jj, kk, jnp.ones((E,), bool), bounds, ep=10.0, fixedp=1,
+            structure_only=True, k_cap=64)
+        np.testing.assert_allclose(np.asarray(poses1), np.asarray(poses_gt))
+        d_err0 = float(jnp.abs(patches0[:, 2, 1, 1]
+                               - patches_gt[:, 2, 1, 1]).mean())
+        d_err1 = float(jnp.abs(patches1[:, 2, 1, 1]
+                               - patches_gt[:, 2, 1, 1]).mean())
+        assert d_err1 < d_err0

@@ -1,0 +1,112 @@
+"""End-to-end engine smoke tests on synthetic frames (tiny config).
+
+These run the full tracking loop — patchify, edge bookkeeping, recurrent
+update, BA, keyframing, termination — with random network weights on CPU.
+They check mechanics and shape discipline, not trajectory quality (that
+needs trained weights; see evaluate_tartan).
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dpvo_tpu.config import VOConfig
+from dpvo_tpu.engine import DPVO
+
+
+TINY = VOConfig(
+    BUFFER_SIZE=64,
+    PATCHES_PER_FRAME=8,
+    REMOVAL_WINDOW=6,
+    OPTIMIZATION_WINDOW=4,
+    PATCH_LIFETIME=4,
+    KEYFRAME_INDEX=2,
+    KEYFRAME_THRESH=0.0,      # never remove keyframes unless forced
+    MIXED_PRECISION=False,
+    EDGE_CAPACITY=512,
+    BA_WINDOW_CAP=8,
+    LOOP_CLOSURE=False,
+)
+
+HT, WD = 64, 96
+
+
+def synthetic_stream(n, seed=0):
+    """Moving random texture (rolls right) so flow is nonzero."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 255, size=(HT, WD * 2, 3), dtype=np.uint8)
+    for t in range(n):
+        sl = np.roll(base, -3 * t, axis=1)[:, :WD]
+        yield t, sl, np.array([60.0, 60.0, WD / 2, HT / 2])
+
+
+@pytest.fixture(scope="module")
+def tracked_slam():
+    slam = DPVO(TINY, network=None, ht=HT, wd=WD)
+    # random weights give arbitrary motion_probe values; force init path
+    slam.motion_probe = lambda: 100.0
+    for t, img, intr in synthetic_stream(12):
+        slam(t, img, intr)
+    return slam
+
+
+def test_engine_tracks_frames(tracked_slam):
+    slam = tracked_slam
+    assert slam.is_initialized
+    assert slam.n == 12
+    assert slam.m == 12 * TINY.PATCHES_PER_FRAME
+    assert slam.hs.e_num > 0
+    # all edge indices within range
+    e = slam.hs.e_num
+    assert (slam.hs.jj[:e] < slam.n).all()
+    assert (slam.hs.kk[:e] < slam.m).all()
+
+
+def test_engine_state_finite(tracked_slam):
+    slam = tracked_slam
+    poses = np.asarray(slam.ds.poses[:slam.n])
+    assert np.all(np.isfinite(poses))
+    # quaternions stay normalized through BA retractions
+    qn = np.linalg.norm(poses[:, 3:], axis=-1)
+    np.testing.assert_allclose(qn, 1.0, atol=1e-3)
+    patches = np.asarray(slam.ds.patches[:slam.m])
+    assert np.all(np.isfinite(patches))
+    assert (patches[:, 2] >= 1e-4).all()
+
+
+def test_engine_terminate(tracked_slam):
+    slam = tracked_slam
+    poses, tstamps = slam.terminate()
+    assert poses.shape == (12, 7)
+    assert tstamps.shape == (12,)
+    assert np.all(np.isfinite(poses))
+
+
+def test_keyframe_removal_compacts_state():
+    cfg = TINY.replace(KEYFRAME_THRESH=1e9)  # always remove keyframes
+    slam = DPVO(cfg, network=None, ht=HT, wd=WD)
+    slam.motion_probe = lambda: 100.0
+    for t, img, intr in synthetic_stream(12):
+        slam(t, img, intr)
+    # keyframe removal fires every post-init frame: n < frames tracked
+    assert slam.n < 12
+    assert len(slam.hs.delta) > 0
+    e = slam.hs.e_num
+    assert (slam.hs.jj[:e] < slam.n).all()
+    assert (slam.hs.kk[:e] // cfg.PATCHES_PER_FRAME < slam.n).all()
+    # terminate interpolates removed frames through delta chains
+    poses, tstamps = slam.terminate()
+    assert poses.shape == (12, 7)
+    assert np.all(np.isfinite(poses))
+
+
+def test_non_keyframed_frames_parked():
+    slam = DPVO(TINY, network=None, ht=HT, wd=WD)
+    probes = iter([100.0, 1.0, 1.0, 100.0] + [100.0] * 20)
+    slam.motion_probe = lambda: next(probes)
+    for t, img, intr in synthetic_stream(10):
+        slam(t, img, intr)
+    # two frames were parked (probe < 2) -> fewer keyframes than frames
+    assert slam.n == 8
+    assert len(slam.hs.delta) == 2
+    poses, _ = slam.terminate()
+    assert poses.shape == (10, 7)
