@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Benchmark: monocular VO frames/sec at 480p on one TPU chip.
+
+Runs the full per-frame tracking pipeline (patchify + recurrent update +
+local BA at the reference's default operating point: 480x640, 96
+patches/frame, 10-frame window, 2 GN iters — BASELINE.md) on synthetic
+frames and reports steady-state FPS.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is FPS / 30 (the driver's >30 FPS target; the reference
+publishes no FPS table — BASELINE.json "published" is {}).
+"""
+import json
+import time
+import sys
+
+import numpy as np
+
+
+def main():
+    from dpvo_tpu.config import VOConfig
+    from dpvo_tpu.engine import DPVO
+
+    cfg = VOConfig(
+        BUFFER_SIZE=256,
+        MIXED_PRECISION=True,
+        LOOP_CLOSURE=False,
+        EDGE_CAPACITY=49152,
+    )
+    ht, wd = 480, 640
+
+    slam = DPVO(cfg, network=None, ht=ht, wd=wd)
+    # random weights produce arbitrary motion probes; force tracking
+    slam.motion_probe = lambda: 100.0
+
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 255, size=(ht, wd * 2, 3), dtype=np.uint8)
+    intr = np.array([320.0, 320.0, 320.0, 240.0])
+
+    def frame(t):
+        return np.roll(base, -4 * t, axis=1)[:, :wd]
+
+    n_warm, n_bench = 30, 60
+    # warmup: triggers all compiles + reaches steady-state edge counts
+    for t in range(n_warm):
+        slam(t, frame(t), intr)
+
+    import jax
+    jax.block_until_ready(slam.ds.poses)
+    t0 = time.perf_counter()
+    for t in range(n_warm, n_warm + n_bench):
+        slam(t, frame(t), intr)
+    jax.block_until_ready(slam.ds.poses)
+    dt = time.perf_counter() - t0
+
+    fps = n_bench / dt
+    print(json.dumps({
+        "metric": "vo_fps_480p",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 30.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

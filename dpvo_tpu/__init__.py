@@ -21,3 +21,19 @@ place of dynamic torch.cat lists).
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: the engine's graphs (480p conv
+# encoders, 49k-edge update step) take minutes to compile cold on TPU;
+# cached recompiles are near-instant.  Override dir with
+# DPVO_TPU_CACHE_DIR; disable with DPVO_TPU_CACHE_DIR="".
+import os as _os
+
+_cache_dir = _os.environ.get(
+    "DPVO_TPU_CACHE_DIR",
+    _os.path.join(_os.path.expanduser("~"), ".cache", "dpvo_tpu_xla"))
+if _cache_dir:
+    import jax as _jax
+
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

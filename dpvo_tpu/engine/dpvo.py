@@ -64,6 +64,17 @@ class DPVO:
         if viz:
             self.start_viewer()
 
+        # classic backend (ref dpvo.py:69-70, 82-88)
+        self.long_term_lc = None
+        if cfg.CLASSIC_LOOP_CLOSURE:
+            try:
+                from ..loop_closure.long_term import LongTermLoopClosure
+                self.long_term_lc = LongTermLoopClosure(cfg, self)
+            except Exception as e:
+                object.__setattr__(self, 'cfg',
+                                   cfg.replace(CLASSIC_LOOP_CLOSURE=False))
+                print(f"WARNING: classic loop closure unavailable: {e}")
+
         # BA capacities (static shapes)
         self.n_cap = cfg.BA_WINDOW_CAP
         self.k_cap = 1 << math.ceil(math.log2(
@@ -359,6 +370,9 @@ class DPVO:
             self.n -= 1
             self.m -= self.M
 
+            if self.long_term_lc is not None:
+                self.long_term_lc.keyframe(k)
+
         # retire edges outside the removal window (ref dpvo.py:305-310)
         e = hs.e_num
         to_remove = (hs.kk[:e] // self.M) < self.n - cfg.REMOVAL_WINDOW
@@ -398,6 +412,9 @@ class DPVO:
         """
         cfg = self.cfg
         hs, ds = self.hs, self.ds
+
+        if self.long_term_lc is not None:
+            self.long_term_lc(np.asarray(image), self.n)
 
         if (self.n + 1) >= self.N:
             raise Exception(
@@ -467,6 +484,10 @@ class DPVO:
             self.update()
             self.keyframe()
 
+        if self.long_term_lc is not None:
+            self.long_term_lc.attempt_loop_closure(self.n)
+            self.long_term_lc.lc_callback()
+
     # --- trajectory extraction --------------------------------------------
 
     def get_pose(self, t):
@@ -479,6 +500,9 @@ class DPVO:
 
     def terminate(self):
         """ref dpvo.py:173-198 -> (poses (T, 7) xyz+quat, tstamps)."""
+        if self.long_term_lc is not None:
+            self.long_term_lc.terminate(self.n)
+
         if self.cfg.LOOP_CLOSURE:
             lkk, ljj = self.edges_loop()
             if len(lkk) > 0:

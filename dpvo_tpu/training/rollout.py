@@ -45,11 +45,13 @@ def build_schedule(n_frames, M, steps, rng: np.random.Generator,
         for kkv, jjv in zip(kk_arr, jj_arr):
             edges.append((kkv // M, jjv, kkv, step))
 
-    # initial: patches of frames < 8 into frames 0..7 (net.py:204)
-    kk0 = np.arange(8 * M)
-    add(np.repeat(kk0, 8), np.tile(np.arange(8), 8 * M), 0)
+    # initial: patches of frames < 8 into frames 0..7 (net.py:204);
+    # clamped for short clips so tiny smoke configs work
+    init = min(8, n_frames)
+    kk0 = np.arange(init * M)
+    add(np.repeat(kk0, init), np.tile(np.arange(init), init * M), 0)
 
-    n = 8
+    n = init
     for s in range(steps):
         if s >= 8 and n < n_frames:
             kk1 = np.arange(n * M)                      # patches < n -> n
@@ -72,7 +74,7 @@ def build_schedule(n_frames, M, steps, rng: np.random.Generator,
     active = np.zeros((steps, E), bool)
     fresh = np.zeros((steps, E), bool)
     intro = np.full((steps,), -1, np.int32)
-    nn = 8
+    nn = init
     for s in range(steps):
         if s >= 8 and nn < n_frames:
             intro[s] = nn

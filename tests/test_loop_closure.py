@@ -1,0 +1,158 @@
+"""Tests: retrieval BoW, RANSAC-Umeyama, Sim3 PGO, proximity NMS."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dpvo_tpu.loop_closure.optim_utils import (ransac_umeyama,
+                                               umeyama_alignment, make_sim3)
+from dpvo_tpu.loop_closure.proximity import reduce_edges
+from dpvo_tpu.loop_closure import pgo
+from dpvo_tpu.ops import lie
+
+
+class TestUmeyama:
+    def test_exact_recovery(self):
+        rng = np.random.default_rng(0)
+        src = rng.normal(size=(50, 3))
+        from scipy.spatial.transform import Rotation
+        R_true = Rotation.from_euler("xyz", [0.3, -0.2, 0.5]).as_matrix()
+        s_true, t_true = 1.7, np.array([1.0, -2.0, 0.5])
+        dst = src @ (R_true * s_true).T + t_true
+
+        R, t, s = umeyama_alignment(src.T, dst.T)
+        np.testing.assert_allclose(R, R_true, atol=1e-6)
+        np.testing.assert_allclose(t, t_true, atol=1e-6)
+        np.testing.assert_allclose(s, s_true, atol=1e-6)
+
+    def test_ransac_with_outliers(self):
+        rng = np.random.default_rng(1)
+        src = rng.normal(size=(100, 3))
+        from scipy.spatial.transform import Rotation
+        R_true = Rotation.from_euler("xyz", [0.1, 0.2, -0.3]).as_matrix()
+        s_true, t_true = 0.8, np.array([0.5, 0.0, -1.0])
+        dst = src @ (R_true * s_true).T + t_true
+        # 30% outliers
+        n_out = 30
+        dst[:n_out] += rng.normal(size=(n_out, 3)) * 5.0
+
+        R, t, s, inl = ransac_umeyama(src, dst, iterations=200,
+                                      threshold=0.05)
+        assert inl >= 60
+        np.testing.assert_allclose(R, R_true, atol=1e-3)
+        np.testing.assert_allclose(s, s_true, atol=1e-3)
+
+
+class TestReduceEdges:
+    def test_greedy_nms(self):
+        ii = np.array([0, 1, 2, 50, 51])
+        jj = np.array([40, 41, 80, 90, 91])
+        mag = np.array([1.0, 0.5, 2.0, 3.0, 4.0])
+        es = reduce_edges(mag, ii, jj, max_num_edges=10, nms=1)
+        pairs = set(map(tuple, es))
+        # lowest-flow edge (1, 41) wins; (0, 40) suppressed by NMS
+        assert (1, 41) in pairs
+        assert (0, 40) not in pairs
+        # |j - i| < 30 skipped: none here except... all >= 30
+        assert (2, 80) in pairs
+
+    def test_min_gap(self):
+        es = reduce_edges(np.array([1.0]), np.array([10]), np.array([20]),
+                          10, 1)
+        assert len(es) == 0  # |20 - 10| < 30
+
+
+class TestPGO:
+    def test_closes_a_drifted_loop(self):
+        """Circular trajectory with drift; a loop constraint fixes it."""
+        n = 40
+        rng = np.random.default_rng(2)
+        # ground truth: circle
+        angles = np.linspace(0, 2 * np.pi, n)
+        gt = np.zeros((n, 7), np.float32)
+        gt[:, 0] = np.cos(angles)
+        gt[:, 1] = np.sin(angles)
+        gt[:, 6] = 1.0
+        gt_poses = jnp.asarray(gt)
+
+        # drifted odometry: accumulate relative poses with noise
+        drift = [np.asarray(gt_poses[0])]
+        for i in range(1, n):
+            rel = lie.se3_mul(gt_poses[i], lie.se3_inv(gt_poses[i - 1]))
+            noise = lie.se3_exp(jnp.asarray(
+                rng.normal(size=6) * 0.01, jnp.float32))
+            drifted = lie.se3_mul(lie.se3_mul(noise, rel),
+                                  jnp.asarray(drift[-1]))
+            drift.append(np.asarray(drifted))
+        drift = np.stack(drift)
+
+        # loop constraint between last and first: relative Sim3 from GT
+        rel_gt = lie.se3_mul(gt_poses[0], lie.se3_inv(gt_poses[n - 1]))
+        # constraint convention matches odometry constants: C such that
+        # residual log(C exp(gi) exp(gj)^-1) = 0 at the true solution,
+        # with gi/gj = logs of INVERSE poses: C = Tj * Ti^-1 where
+        # T = pose^-1
+        Ti = lie.sim3_inv(lie.se3_to_sim3(gt_poses[n - 1]))
+        Tj = lie.sim3_inv(lie.se3_to_sim3(gt_poses[0]))
+        C = lie.sim3_mul(Tj, lie.sim3_inv(Ti))
+        dS = np.asarray(C)[None]
+
+        err_before = np.linalg.norm(drift[-1][:3] - gt[-1][:3])
+
+        out = pgo.perform_updates(drift, dS, np.array([n - 1]),
+                                  np.array([0]), iters=20)
+        out = np.asarray(out)
+
+        # gauge-align: fix first pose to GT
+        fix = lie.sim3_mul(lie.se3_to_sim3(gt_poses[0]),
+                           lie.sim3_inv(jnp.asarray(out[0])))
+        aligned = np.asarray(lie.sim3_mul(fix[None], jnp.asarray(out)))
+
+        err_after = np.linalg.norm(aligned[-1][:3] - gt[-1][:3])
+        assert err_after < 0.5 * err_before, (err_before, err_after)
+
+
+class TestBinaryBoW:
+    def test_retrieval_finds_similar(self):
+        from dpvo_tpu.loop_closure.retrieval.dbow import BinaryBoW
+        rng = np.random.default_rng(3)
+        bow = BinaryBoW(train_after=5)
+
+        # two distinct "places" with per-view noise
+        place_a = rng.integers(0, 256, size=(60, 32), dtype=np.uint8)
+        place_b = rng.integers(0, 256, size=(60, 32), dtype=np.uint8)
+
+        def noisy(base):
+            d = base.copy()
+            flips = rng.integers(0, 256, size=d.shape, dtype=np.uint8)
+            mask = rng.random(d.shape) < 0.02
+            return np.where(mask, d ^ flips, d)
+
+        # images 0-9 at place A, 10-19 at place B
+        for i in range(10):
+            bow.add(i, noisy(place_a))
+        for i in range(10, 20):
+            bow.add(i, noisy(place_b))
+        assert bow.trained
+
+        # revisit place A at id 50: best match should be an A image
+        match, score = bow.query(noisy(place_a), qid=50, min_gap=20)
+        assert 0 <= match < 10, (match, score)
+        assert score > 0
+
+    def test_cpp_backend_loaded(self):
+        from dpvo_tpu.loop_closure.retrieval.dbow import BinaryBoW
+        bow = BinaryBoW()
+        # the C++ library should be built in this repo
+        assert bow._lib is not None, "libretrieval.so missing"
+
+
+def test_make_sim3_roundtrip():
+    from scipy.spatial.transform import Rotation
+    R = Rotation.from_euler("xyz", [0.1, 0.2, 0.3]).as_matrix()
+    t = np.array([1.0, 2.0, 3.0])
+    s = 1.5
+    g = make_sim3(R, t, s)
+    p = np.array([0.5, -0.5, 1.0])
+    expect = s * R @ p + t
+    got = np.asarray(lie.sim3_act(jnp.asarray(g), jnp.asarray(p)))
+    np.testing.assert_allclose(got, expect, atol=1e-5)
