@@ -25,7 +25,7 @@ def main():
         BUFFER_SIZE=256,
         MIXED_PRECISION=True,
         LOOP_CLOSURE=False,
-        EDGE_CAPACITY=49152,
+        EDGE_CAPACITY=57344,
     )
     ht, wd = 480, 640
 
@@ -43,7 +43,10 @@ def main():
     n_warm, n_bench = 30, 60
     # warmup: triggers all compiles + reaches steady-state edge counts
     for t in range(n_warm):
+        tw = time.perf_counter()
         slam(t, frame(t), intr)
+        print(f"warm frame {t}: {(time.perf_counter()-tw)*1000:.0f}ms "
+              f"(edges {slam.hs.e_num})", file=sys.stderr, flush=True)
 
     import jax
     jax.block_until_ready(slam.ds.poses)

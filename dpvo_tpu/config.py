@@ -60,6 +60,8 @@ class VOConfig:
     BA_WINDOW_CAP: int = 28
     # dtype used for feature ring buffers & network activations
     COMPUTE_DTYPE: str = "bfloat16"
+    # correlation backend: auto (pallas on TPU, xla on CPU) | pallas | xla
+    CORR_BACKEND: str = "auto"
 
     def replace(self, **kw) -> "VOConfig":
         return dataclasses.replace(self, **kw)

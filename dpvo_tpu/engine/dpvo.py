@@ -17,6 +17,7 @@ masks and donated-buffer updates.
 from __future__ import annotations
 
 import math
+from concurrent.futures import ThreadPoolExecutor
 from typing import Any
 
 import numpy as np
@@ -80,6 +81,17 @@ class DPVO:
         self.k_cap = 1 << math.ceil(math.log2(
             max((cfg.REMOVAL_WINDOW + 4) * self.M, 256)))
         self.ran_global_ba = np.zeros(100000, dtype=bool)
+
+        # correlation backend: Pallas frame-resident kernel on TPU,
+        # XLA gather path on CPU (Mosaic is TPU-only)
+        from ..ops.corr_pallas import TILE
+        if cfg.CORR_BACKEND == "auto":
+            self.use_pallas = jax.default_backend() not in ("cpu",)
+        else:
+            self.use_pallas = cfg.CORR_BACKEND == "pallas"
+        self.E_sort_cap = self.E_cap + self.mem * TILE
+        # host metadata (sorts) runs in parallel threads each update
+        self._meta_pool = ThreadPoolExecutor(max_workers=3)
 
     # --- weights -----------------------------------------------------------
 
@@ -213,11 +225,72 @@ class DPVO:
         return (jnp.asarray(self.hs.ii), jnp.asarray(self.hs.jj),
                 jnp.asarray(self.hs.kk), jnp.asarray(valid))
 
+    def _corr_grouping(self):
+        """Sort edges by fmap ring slot and pad groups to TILE multiples
+        for the Pallas kernel (one frame resident in VMEM per tile)."""
+        from ..ops.corr_pallas import TILE
+        E, Es = self.E_cap, self.E_sort_cap
+        slots = self.hs.jj % self.mem
+        order = np.argsort(slots, kind="stable")
+        sorted_slots = slots[order]
+
+        perm = np.zeros(Es, np.int32)
+        inv = np.zeros(E, np.int32)
+        tile_frame = np.zeros(Es // TILE, np.int32)
+
+        boundaries = np.nonzero(np.diff(sorted_slots))[0] + 1
+        groups = np.split(order, boundaries)
+        pos = 0
+        for g in groups:
+            slot = int(slots[g[0]])
+            cnt = len(g)
+            perm[pos:pos + cnt] = g
+            inv[g] = np.arange(pos, pos + cnt, dtype=np.int32)
+            pad = (-cnt) % TILE
+            perm[pos + cnt:pos + cnt + pad] = g[0]
+            tile_frame[pos // TILE:(pos + cnt + pad) // TILE] = slot
+            pos += cnt + pad
+        # unused tail tiles: keep them frame-pure too (results unused)
+        perm[pos:] = order[0]
+        tile_frame[pos // TILE:] = int(slots[order[0]])
+        return (jnp.asarray(perm), jnp.asarray(inv),
+                jnp.asarray(tile_frame))
+
+    def _agg_meta(self):
+        """Back-compat shim (tests): group-attention metadata only."""
+        meta, _, _ = self._update_metadata()
+        return meta
+
+    def _update_metadata(self):
+        """All per-update host metadata (three sorts), in parallel threads
+        (numpy sorts release the GIL)."""
+        from ..ops.scatter import group_meta
+        e = self.hs.e_num
+        kk_g = self.hs.kk.astype(np.int32).copy()
+        kk_g[e:] = -1
+        # ii*12345+jj fits int32 (ii < 4096 frames)
+        pair = self.hs.ii * np.int32(12345) + self.hs.jj
+        pair[e:] = -1
+        from ..ops.graph import neighbors_host
+        f_kk = self._meta_pool.submit(group_meta, kk_g)
+        f_ij = self._meta_pool.submit(group_meta, pair)
+        f_nb = self._meta_pool.submit(neighbors_host, self.hs.kk,
+                                      self.hs.jj, e)
+        corr = ((None, None, None) if not self.use_pallas
+                else self._corr_grouping())
+        meta_kk = tuple(jnp.asarray(a) for a in f_kk.result())
+        meta_ij = tuple(jnp.asarray(a) for a in f_ij.result())
+        nix, njx = f_nb.result()
+        nbrs = (jnp.asarray(nix), jnp.asarray(njx))
+        return (meta_kk, meta_ij), corr, nbrs
+
     # --- core steps --------------------------------------------------------
 
     def update(self):
         ds, hs = self.ds, self.hs
         ii_d, jj_d, kk_d, valid = self._edge_device_arrays()
+        agg_meta, (corr_perm, corr_inv, tile_frame), nbrs = \
+            self._update_metadata()
 
         run_global = (self.cfg.LOOP_CLOSURE
                       and (hs.ii[:hs.e_num] < self.n
@@ -235,7 +308,9 @@ class DPVO:
                 jnp.int32(0), jnp.int32(0),
                 update_mod=self.update_mod, M=self.M, pmem=self.pmem,
                 mem=self.mem, n_cap=self.n_cap, k_cap=self.k_cap,
-                iterations=2, run_ba=False)
+                iterations=2, run_ba=False, use_pallas=self.use_pallas,
+                corr_perm=corr_perm, corr_inv=corr_inv,
+                tile_frame=tile_frame, agg_meta=agg_meta, nbrs=nbrs)
             self.__run_global_BA()
         else:
             t0 = self.n - self.cfg.OPTIMIZATION_WINDOW \
@@ -249,7 +324,9 @@ class DPVO:
                 jnp.int32(t0), jnp.int32(self.n),
                 update_mod=self.update_mod, M=self.M, pmem=self.pmem,
                 mem=self.mem, n_cap=self.n_cap, k_cap=self.k_cap,
-                iterations=2, run_ba=True)
+                iterations=2, run_ba=True, use_pallas=self.use_pallas,
+                corr_perm=corr_perm, corr_inv=corr_inv,
+                tile_frame=tile_frame, agg_meta=agg_meta, nbrs=nbrs)
 
     def __run_global_BA(self):
         """Global BA over active + inactive edges (ref dpvo.py:312-326)."""
@@ -434,9 +511,6 @@ class DPVO:
         coords = select_centroids(self.next_rng(), cfg.CENTROID_SEL_STRAT,
                                   1, h, w, self.M, gradient=grad)[0]
 
-        fmap1, fmap2, gmap, imap, patches, clr = kernels.process_frame(
-            self.params_patchify, self.patchifier, img, coords)
-
         # host state
         hs.tlist.append(tstamp)
         hs.tstamps[self.n] = hs.counter
@@ -446,10 +520,11 @@ class DPVO:
         fac = (c - b) / (b - a) if (b - a) != 0 else 1.0
 
         (ds.poses, ds.patches, ds.intrinsics, ds.colors, ds.imap, ds.gmap,
-         ds.fmap1, ds.fmap2) = kernels.write_frame(
+         ds.fmap1, ds.fmap2) = kernels.track_frame(
+            self.params_patchify, self.patchifier,
             ds.poses, ds.patches, ds.intrinsics, ds.colors,
             ds.imap, ds.gmap, ds.fmap1, ds.fmap2,
-            fmap1, fmap2, gmap, imap, patches, clr,
+            img, coords,
             jnp.asarray(intrinsics, jnp.float32) / self.RES,
             jnp.int32(self.n), jnp.float32(fac),
             jnp.asarray(self.is_initialized), self.next_rng(),
@@ -473,8 +548,11 @@ class DPVO:
                     self.last_global_ba = self.n
                     self.append_factors(lkk, ljj)
 
-        self.append_factors(*self.__edges_forw())
-        self.append_factors(*self.__edges_back())
+        # forward + backward factors in one append (one device write)
+        kf, jf = self._DPVO__edges_forw()
+        kb, jb = self._DPVO__edges_back()
+        self.append_factors(np.concatenate([kf, kb]),
+                            np.concatenate([jf, jb]))
 
         if self.n == 8 and not self.is_initialized:
             self.is_initialized = True

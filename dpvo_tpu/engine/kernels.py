@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import lie, projective as pops, corr as corr_ops, ba
+from ..ops import corr_pallas as cp
 from ..models.vonet import Patchifier, image_gradient
 from ..models.update import Update, DIM
 
@@ -99,34 +100,81 @@ def write_frame(poses, patches_buf, intrinsics_buf, colors_buf,
         imap_buf, imap.astype(imap_buf.dtype), (slot_p, 0))
     gmap_buf = jax.lax.dynamic_update_slice(
         gmap_buf, gmap.astype(gmap_buf.dtype), (slot_p, 0, 0, 0))
-    fmap1_buf = fmap1_buf.at[n % mem].set(fmap1.astype(fmap1_buf.dtype))
-    fmap2_buf = fmap2_buf.at[n % mem].set(fmap2.astype(fmap2_buf.dtype))
+    fmap1_buf = fmap1_buf.at[n % mem].set(
+        cp.pad_fmap(fmap1[None])[0].astype(fmap1_buf.dtype))
+    fmap2_buf = fmap2_buf.at[n % mem].set(
+        cp.pad_fmap(fmap2[None])[0].astype(fmap2_buf.dtype))
 
     return (poses, patches_buf, intrinsics_buf, colors_buf,
             imap_buf, gmap_buf, fmap1_buf, fmap2_buf)
+
+
+@partial(jax.jit,
+         static_argnames=("patchifier", "M", "pmem", "mem",
+                          "motion_damping"),
+         donate_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
+def track_frame(params, patchifier: Patchifier,
+                poses, patches_buf, intrinsics_buf, colors_buf,
+                imap_buf, gmap_buf, fmap1_buf, fmap2_buf,
+                image, coords, intrinsics, n, fac, is_initialized, rng,
+                M, pmem, mem, motion_damping):
+    """Fused process_frame + write_frame: one dispatch per tracked frame."""
+    fmap1, fmap2, gmap, imap, patches, clr = process_frame(
+        params, patchifier, image, coords)
+    return write_frame(poses, patches_buf, intrinsics_buf, colors_buf,
+                       imap_buf, gmap_buf, fmap1_buf, fmap2_buf,
+                       fmap1, fmap2, gmap, imap, patches, clr,
+                       intrinsics, n, fac, is_initialized, rng,
+                       M=M, pmem=pmem, mem=mem,
+                       motion_damping=motion_damping)
 
 
 # ---------------------------------------------------------------------------
 # the hot loop: one optimization update
 # ---------------------------------------------------------------------------
 
-def _corr_features(gmap_buf, fmap1_buf, fmap2_buf, coords2, kk_mod, jj_mod):
-    """Two-level correlation, flattened (ref dpvo.py:200-207)."""
-    c1 = corr_ops.corr(gmap_buf, fmap1_buf, coords2, kk_mod, jj_mod, 3)
-    c2 = corr_ops.corr(gmap_buf, fmap2_buf, coords2 / 4.0, kk_mod, jj_mod, 3)
+def _corr_features(gmap_buf, fmap1_buf, fmap2_buf, coords2, kk_mod,
+                   jj_mod):
+    """Two-level correlation, flattened (ref dpvo.py:200-207).
+
+    XLA gather path; fmap buffers are stored PAD-padded."""
+    c1 = corr_ops.corr(gmap_buf, fmap1_buf, coords2, kk_mod, jj_mod, 3,
+                       pad=cp.PAD)
+    c2 = corr_ops.corr(gmap_buf, fmap2_buf, coords2 / 4.0, kk_mod, jj_mod,
+                       3, pad=cp.PAD)
     E = coords2.shape[0]
     return jnp.stack([c1, c2], axis=-1).reshape(E, -1)
 
 
+def _corr_features_pallas(gmap_buf, fmap1_buf, fmap2_buf, coords2, kk_mod,
+                          corr_perm, corr_inv, tile_frame):
+    """Pallas frame-resident correlation over jj-grouped edges.
+
+    corr_perm (Es,) sorts/pads edges into frame-contiguous TILE groups;
+    corr_inv (E,) maps table rows back; tile_frame (Es//TILE,) gives the
+    fmap ring slot per tile."""
+    E = coords2.shape[0]
+    C = gmap_buf.shape[-1]
+    coords_s = coords2[corr_perm]                        # (Es, 2, P, P)
+    kk_s = kk_mod[corr_perm]
+    g_pre = gmap_buf[kk_s].reshape(corr_perm.shape[0], cp.P2, C)
+    c1 = cp.corr_pallas(g_pre, fmap1_buf, coords_s, tile_frame)
+    c2 = cp.corr_pallas(g_pre, fmap2_buf, coords_s / 4.0, tile_frame)
+    feat = jnp.stack([c1, c2], axis=-1).reshape(corr_perm.shape[0], -1)
+    return feat[corr_inv]                                # (E, 882)
+
+
 @partial(jax.jit,
          static_argnames=("update_mod", "M", "pmem", "mem", "n_cap",
-                          "k_cap", "iterations", "run_ba"),
+                          "k_cap", "iterations", "run_ba", "use_pallas"),
          donate_argnums=(1, 2, 8))
 def update_step(params, poses, patches_buf, intrinsics_buf,
                 imap_buf, gmap_buf, fmap1_buf, fmap2_buf,
                 net, ii, jj, kk, valid, t0, t1,
                 update_mod: Update, M, pmem, mem, n_cap, k_cap,
-                iterations=2, run_ba=True):
+                iterations=2, run_ba=True, use_pallas=False,
+                corr_perm=None, corr_inv=None, tile_frame=None,
+                agg_meta=None, nbrs=None):
     """Reproject -> correlate -> recurrent update -> bundle adjust
     (ref dpvo.py:328-356).
 
@@ -148,12 +196,18 @@ def update_step(params, poses, patches_buf, intrinsics_buf,
     # two-level correlation (ref dpvo.py:200-207)
     kk_mod = kk_s % (M * pmem)
     jj_mod = jj_s % mem
-    corr_feat = _corr_features(gmap_buf, fmap1_buf, fmap2_buf,
-                               coords2, kk_mod, jj_mod)
+    if use_pallas:
+        corr_feat = _corr_features_pallas(
+            gmap_buf, fmap1_buf, fmap2_buf, coords2, kk_mod,
+            corr_perm, corr_inv, tile_frame)
+    else:
+        corr_feat = _corr_features(gmap_buf, fmap1_buf, fmap2_buf,
+                                   coords2, kk_mod, jj_mod)
 
     ctx = imap_buf[kk_mod].astype(jnp.float32)
     net, delta, weight = update_mod.apply(
-        params, net, ctx, corr_feat, ii_s, jj_s, kk_s, valid)
+        params, net, ctx, corr_feat, ii_s, jj_s, kk_s, valid,
+        agg_meta=agg_meta, nbrs=nbrs)
 
     target = coords[:, c, c] + delta                   # (E, 2)
     target = jnp.where(valid[:, None], target, 0.0)

@@ -94,7 +94,18 @@ def perform_updates(poses_se3, dSloop, ii_loop, jj_loop, iters=30,
     ii_loop/jj_loop (L,).  Returns corrected Sim3 poses (n, 8)
     (exp(Ginv)^-1, i.e. world-from-camera inverses undone).
     """
-    poses_se3 = jnp.asarray(poses_se3, jnp.float32)
+    # pad the pose count to a power-of-two bucket: every call would
+    # otherwise compile a fresh program for its exact n (minutes each on
+    # a remote-compile backend).  Padding poses are identity with
+    # identity odometry constraints -> zero residuals, no coupling.
+    poses_np = np.asarray(poses_se3, np.float32)
+    n_real = len(poses_np)
+    n_bucket = 1 << int(np.ceil(np.log2(max(n_real, 64))))
+    if n_bucket > n_real:
+        pad = np.zeros((n_bucket - n_real, 7), np.float32)
+        pad[:, 6] = 1.0
+        poses_np = np.concatenate([poses_np, pad])
+    poses_se3 = jnp.asarray(poses_np, jnp.float32)
     n = poses_se3.shape[0]
 
     pred_inv = lie.sim3_inv(lie.se3_to_sim3(poses_se3))
@@ -131,7 +142,7 @@ def perform_updates(poses_se3, dSloop, ii_loop, jj_loop, iters=30,
                 and history[-5] / max(history[-1], 1e-12) < 1.5):
             break
 
-    return lie.sim3_inv(lie.sim3_exp(Ginv))
+    return lie.sim3_inv(lie.sim3_exp(Ginv))[:n_real]
 
 
 def run_pgo(pred_poses, dSloop, loop_ii, loop_jj, queue=None, iters=30):

@@ -10,9 +10,19 @@ inside the tracking loop; here candidates are already reduced on device).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..ops import projective as pops
+
+
+@jax.jit
+def _flow_mag_center(poses, patches, intrinsics, ii, jj, kk):
+    """Center-pixel flow magnitude for candidate edges (beta=0.5)."""
+    flow, val = pops.flow_mag(poses, patches, intrinsics, ii, jj, kk,
+                              beta=0.5)
+    c = flow.shape[-1] // 2
+    return flow[:, c, c], val[:, c, c]
 
 
 def reduce_edges(flow_mag, ii, jj, max_num_edges=1000, nms=1):
@@ -65,14 +75,21 @@ def propose_loop_edges(slam):
     ii = kk // M
 
     # device: flow magnitude per candidate edge at the patch center
-    # (ref uses patches[...,1,1] only)
+    # (ref uses patches[...,1,1] only).  Candidates are padded to a
+    # power-of-two bucket so the jitted program is reused across calls
+    # (data-dependent shapes would recompile every proposal).
     ds = slam.ds
-    flow, val = pops.flow_mag(
+    E = len(kk)
+    cap = 1 << int(np.ceil(np.log2(max(E, 1024))))
+    pad = cap - E
+    ii_p = np.concatenate([ii, np.zeros(pad, np.int32)])
+    jj_p = np.concatenate([jj, np.zeros(pad, np.int32)])
+    kk_p = np.concatenate([kk, np.zeros(pad, np.int32)])
+    flow, val = _flow_mag_center(
         ds.poses, ds.patches, ds.intrinsics,
-        jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(kk), beta=0.5)
-    c = flow.shape[-1] // 2
-    fl = np.asarray(flow[:, c, c], np.float64).reshape(len(jr), len(kr))
-    vl = np.asarray(val[:, c, c]).reshape(len(jr), len(kr))
+        jnp.asarray(ii_p), jnp.asarray(jj_p), jnp.asarray(kk_p))
+    fl = np.asarray(flow[:E], np.float64).reshape(len(jr), len(kr))
+    vl = np.asarray(val[:E]).reshape(len(jr), len(kr))
 
     # per (source frame, target frame) aggregation over that frame's M
     # patches (ref patchgraph.py:72-74)

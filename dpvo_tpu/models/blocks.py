@@ -86,13 +86,26 @@ class SoftAgg(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, jx, num_groups, valid=None):
-        # E rows; one extra trash group for masked rows
+    def __call__(self, x, jx=None, num_groups=None, valid=None,
+                 sorted_meta=None):
+        f = nn.Dense(self.dim, dtype=self.dtype, name="f")(x)
+        g = nn.Dense(self.dim, dtype=self.dtype, name="g")(x)
+
+        if sorted_meta is not None:
+            # fast path: host supplies sort metadata; segment reductions
+            # become cumsum differences (no TPU scatter)
+            perm, inv_perm, start, end = sorted_meta
+            gs = g[perm].astype(jnp.float32)
+            fs = f[perm].astype(jnp.float32)
+            y_rows = scatter.sorted_segment_softmax_sum(gs, fs, start, end)
+            h = nn.Dense(self.dim, dtype=self.dtype,
+                         name="h")(y_rows.astype(self.dtype))
+            return h[inv_perm]
+
+        # generic path: scatter-based segments with a trash group
         if valid is not None:
             jx = jnp.where(valid, jx, num_groups)
         S = num_groups + 1
-        f = nn.Dense(self.dim, dtype=self.dtype, name="f")(x)
-        g = nn.Dense(self.dim, dtype=self.dtype, name="g")(x)
         # softmax weights computed in fp32 for stability
         w = scatter.scatter_softmax(g.astype(jnp.float32), jx, S)
         y = scatter.scatter_sum(f * w.astype(f.dtype), jx, S)

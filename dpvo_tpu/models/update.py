@@ -28,13 +28,17 @@ class Update(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, net, inp, corr, ii, jj, kk, valid=None):
+    def __call__(self, net, inp, corr, ii, jj, kk, valid=None,
+                 agg_meta=None, nbrs=None):
         """One recurrent update.
 
         net   (E, DIM)  hidden state per edge
         inp   (E, DIM)  context features (imap[kk])
         corr  (E, 2*49*p*p) flattened correlation features
         ii, jj, kk (E,) int32 edge lists; valid (E,) bool mask
+        agg_meta optional (meta_kk, meta_ij) sort metadata tuples
+                 (perm, inv_perm, start, end) enabling the scatter-free
+                 sorted-segment attention path
         -> (net', delta (E, 2) fp32, weight (E, 2) fp32)
         """
         E = net.shape[0]
@@ -54,8 +58,12 @@ class Update(nn.Module):
         net = net + inp.astype(dt) + c
         net = nn.LayerNorm(epsilon=1e-3, dtype=dt, name="norm")(net)
 
-        # temporal message passing (ref net.py:76-81)
-        ix, jx = graph.neighbors(kk, jj, valid)
+        # temporal message passing (ref net.py:76-81); host-precomputed
+        # neighbor indices skip the on-device sort
+        if nbrs is not None:
+            ix, jx = nbrs
+        else:
+            ix, jx = graph.neighbors(kk, jj, valid)
         mask_ix = (ix >= 0)[:, None].astype(dt)
         mask_jx = (jx >= 0)[:, None].astype(dt)
         net_ix = net[jnp.maximum(ix, 0)] * mask_ix
@@ -69,12 +77,20 @@ class Update(nn.Module):
         net = net + nn.Dense(DIM, dtype=dt, name="c2_1")(h)
 
         # group attention (ref net.py:83-84)
-        _, ku = scatter.compactify(
-            jnp.where(valid, kk, jnp.iinfo(jnp.int32).max), size=E)
-        pair = jnp.where(valid, ii * 12345 + jj, jnp.iinfo(jnp.int32).max)
-        _, pu = scatter.compactify(pair, size=E)
-        net = net + SoftAgg(DIM, dt, name="agg_kk")(net, ku, E, valid)
-        net = net + SoftAgg(DIM, dt, name="agg_ij")(net, pu, E, valid)
+        if agg_meta is not None:
+            meta_kk, meta_ij = agg_meta
+            net = net + SoftAgg(DIM, dt, name="agg_kk")(
+                net, sorted_meta=meta_kk)
+            net = net + SoftAgg(DIM, dt, name="agg_ij")(
+                net, sorted_meta=meta_ij)
+        else:
+            _, ku = scatter.compactify(
+                jnp.where(valid, kk, jnp.iinfo(jnp.int32).max), size=E)
+            pair = jnp.where(valid, ii * 12345 + jj,
+                             jnp.iinfo(jnp.int32).max)
+            _, pu = scatter.compactify(pair, size=E)
+            net = net + SoftAgg(DIM, dt, name="agg_kk")(net, ku, E, valid)
+            net = net + SoftAgg(DIM, dt, name="agg_ij")(net, pu, E, valid)
 
         # "GRU" (ref net.py:42-47)
         net = nn.LayerNorm(epsilon=1e-3, dtype=dt, name="gru_norm1")(net)

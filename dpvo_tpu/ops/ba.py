@@ -141,44 +141,38 @@ def ba_iterative(poses, patches, intrinsics, target, weight, lmbda,
         lic = jnp.clip(li, 0, n_cap - 1)
         ljc = jnp.clip(lj, 0, n_cap - 1)
 
-        wi = w * vi[:, None]
-        wj = w * vj[:, None]
-        wij = w * (vi & vj)[:, None]
+        # --- scatter-free assembly (TPU: matmuls instead of atomics) ---
+        # Effective pose Jacobian per residual row: the CUDA kernel's
+        # accumulation pattern (B[ii,ii] += JiJi, B[ii,jj] -= JiJj, ...,
+        # ba_cuda.cu:339-373) is exactly J_eff^T W [J_eff | Jz | r] with
+        # J_eff = -Ji placed at block li + Jj placed at block lj.  Building
+        # J_eff densely over the n_cap window turns every scatter-add into
+        # an MXU matmul.
+        oh_i = ((lic[:, None] == jnp.arange(n_cap)) & vi[:, None]
+                ).astype(jnp.float32)                       # (E, n_cap)
+        oh_j = ((ljc[:, None] == jnp.arange(n_cap)) & vj[:, None]
+                ).astype(jnp.float32)
 
-        # 6x6 pose blocks (outer products over the 2 residual rows)
-        Bii_e = jnp.einsum("er,era,erb->eab", wi, Ji, Ji, precision=_HI)
-        Bjj_e = jnp.einsum("er,era,erb->eab", wj, Jj, Jj, precision=_HI)
-        Bij_e = jnp.einsum("er,era,erb->eab", wij, Ji, Jj, precision=_HI)
-
+        # (E, 2, n_cap, 6) -> (E, 2, 6*n_cap)
+        Jeff = (-oh_i[:, None, :, None] * Ji[:, :, None, :]
+                + oh_j[:, None, :, None] * Jj[:, :, None, :])
         D = 6 * n_cap
-        B = jnp.zeros((D, D), jnp.float32)
-        a_idx = jnp.arange(6)
-        row_i = (lic[:, None] * 6 + a_idx)                  # (E, 6)
-        row_j = (ljc[:, None] * 6 + a_idx)
+        Jeff = Jeff.reshape(E, 2, D)
+        wJeff = w[:, :, None] * Jeff
 
-        def add_block(B, rows, cols, blk):
-            return B.at[rows[:, :, None], cols[:, None, :]].add(blk)
+        B = jnp.einsum("era,erb->ab", wJeff, Jeff, precision=_HI)
+        vvec = jnp.einsum("era,er->a", wJeff, r, precision=_HI)
 
-        B = add_block(B, row_i, row_i, Bii_e)
-        B = add_block(B, row_j, row_j, Bjj_e)
-        B = add_block(B, row_i, row_j, -Bij_e)
-        B = add_block(B, row_j, row_i, -Bij_e.transpose(0, 2, 1))
+        # pose-depth coupling: each edge touches one patch column ku
+        A = jnp.einsum("er,era->ea", w * Jz, Jeff, precision=_HI)  # (E, D)
+        oh_k = ((ku[:, None] == jnp.arange(k_cap)) & valid[:, None]
+                ).astype(jnp.float32)                       # (E, k_cap)
+        Emat = jnp.matmul(A.T, oh_k, precision=_HI)         # (D, k_cap)
 
-        # E blocks (pose-depth coupling), C, v, u
-        Ei_e = -jnp.einsum("er,er,era->ea", wi, Jz, Ji, precision=_HI)
-        Ej_e = jnp.einsum("er,er,era->ea", wj, Jz, Jj, precision=_HI)
-        Emat = jnp.zeros((D, k_cap), jnp.float32)
-        Emat = Emat.at[row_i, ku[:, None]].add(Ei_e)
-        Emat = Emat.at[row_j, ku[:, None]].add(Ej_e)
-
-        vi_e = -jnp.einsum("er,er,era->ea", wi, r, Ji, precision=_HI)
-        vj_e = jnp.einsum("er,er,era->ea", wj, r, Jj, precision=_HI)
-        vvec = jnp.zeros((D,), jnp.float32)
-        vvec = vvec.at[row_i].add(vi_e)
-        vvec = vvec.at[row_j].add(vj_e)
-
-        C = jax.ops.segment_sum(jnp.sum(w * Jz * Jz, axis=1), ku, k_cap)
-        u = jax.ops.segment_sum(jnp.sum(w * r * Jz, axis=1), ku, k_cap)
+        C = jnp.matmul(jnp.sum(w * Jz * Jz, axis=1)[None], oh_k,
+                       precision=_HI)[0]                    # (k_cap,)
+        u = jnp.matmul(jnp.sum(w * r * Jz, axis=1)[None], oh_k,
+                       precision=_HI)[0]
 
         Q = 1.0 / (C + lmbda)                               # (k_cap,)
 
@@ -283,25 +277,6 @@ def ba_differentiable(poses, patches, intrinsics, targets, weights, lmbda,
     r = v[:, None] * r
     w = v[:, None] * weights
 
-    # weighted Jacobian products (ref ba.py:114-127)
-    wJi = w[:, :, None] * Ji
-    wJj = w[:, :, None] * Jj
-    wJz = w[:, :, None] * Jz                                # (E, 2, 1)
-
-    Bii = jnp.einsum("era,erb->eab", wJi, Ji, precision=_HI)
-    Bij = jnp.einsum("era,erb->eab", wJi, Jj, precision=_HI)
-    Bji = jnp.einsum("era,erb->eab", wJj, Ji, precision=_HI)
-    Bjj = jnp.einsum("era,erb->eab", wJj, Jj, precision=_HI)
-
-    Eik = jnp.einsum("era,erb->eab", wJi, Jz, precision=_HI)  # (E, 6, 1)
-    Ejk = jnp.einsum("era,erb->eab", wJj, Jz, precision=_HI)
-
-    vi = jnp.einsum("era,er->ea", wJi, r, precision=_HI)
-    vj = jnp.einsum("era,er->ea", wJj, r, precision=_HI)
-
-    Ck = jnp.einsum("era,era->e", wJz, Jz, precision=_HI)
-    uk = jnp.einsum("era,er->e", wJz, r, precision=_HI)
-
     # fix first `fixedp` poses (ref ba.py:129-135)
     n = N - fixedp
     ii_ = ii - fixedp
@@ -311,47 +286,47 @@ def ba_differentiable(poses, patches, intrinsics, targets, weights, lmbda,
     kx, ku = scatter.compactify(kk_m, size=k_cap)
     k_real = kx != _INT_MAX
 
-    def safe_mat(blk, a, b, na, nb):
-        ok = (a >= 0) & (b >= 0) & (a < na) & (b < nb)
-        idx = jnp.where(ok, a * nb + b, na * nb)
-        out = jax.ops.segment_sum(
-            jnp.where(ok[:, None, None], blk, 0.0), idx,
-            num_segments=na * nb + 1)
-        return out[:-1]
+    # --- scatter-free assembly: J_eff design matrix (see ba_iterative) ---
+    # Here Ji already carries the adjoint sign (Ji = -adjT(Jj) from
+    # transform), so the reference accumulates ALL-POSITIVE blocks
+    # (ba.py:140-153): J_eff = Ji placed at block ii_ + Jj at block jj_.
+    vi_ok = (ii_ >= 0) & (ii_ < n)
+    vj_ok = (jj_ >= 0) & (jj_ < n)
+    oh_i = ((jnp.clip(ii_, 0, n - 1)[:, None] == jnp.arange(n))
+            & vi_ok[:, None]).astype(jnp.float32)           # (E, n)
+    oh_j = ((jnp.clip(jj_, 0, n - 1)[:, None] == jnp.arange(n))
+            & vj_ok[:, None]).astype(jnp.float32)
 
-    def safe_vec(vec, a, na):
-        ok = (a >= 0) & (a < na)
-        idx = jnp.where(ok, a, na)
-        out = jax.ops.segment_sum(
-            jnp.where(ok.reshape((-1,) + (1,) * (vec.ndim - 1)), vec, 0.0),
-            idx, num_segments=na + 1)
-        return out[:-1]
+    Jeff = (oh_i[:, None, :, None] * Ji[:, :, None, :]
+            + oh_j[:, None, :, None] * Jj[:, :, None, :])   # (E, 2, n, 6)
+    Dn = 6 * n
+    Jeff = Jeff.reshape(E, 2, Dn)
+    wJeff = w[:, :, None] * Jeff
 
-    B = (safe_mat(Bii, ii_, ii_, n, n) + safe_mat(Bij, ii_, jj_, n, n)
-         + safe_mat(Bji, jj_, ii_, n, n) + safe_mat(Bjj, jj_, jj_, n, n))
-    B = B.reshape(n, n, 6, 6)
+    Bm = jnp.einsum("era,erb->ab", wJeff, Jeff, precision=_HI)
+    vv = jnp.einsum("era,er->a", wJeff, r, precision=_HI)    # (6n,)
 
-    Em = safe_mat(Eik, ii_, ku, n, k_cap) + safe_mat(Ejk, jj_, ku, n, k_cap)
-    Em = Em.reshape(n, k_cap, 6)
+    Jz2 = Jz[:, :, 0]                                        # (E, 2)
+    A = jnp.einsum("er,era->ea", w * Jz2, Jeff, precision=_HI)
+    oh_k = ((ku[:, None] == jnp.arange(k_cap))
+            & (v > 0)[:, None]).astype(jnp.float32)          # (E, k_cap)
+    Ef = jnp.matmul(A.T, oh_k, precision=_HI)                # (6n, k_cap)
 
-    C = safe_vec(Ck, ku, k_cap)
-    u = safe_vec(uk, ku, k_cap)
-    vv = safe_vec(vi, ii_, n) + safe_vec(vj, jj_, n)        # (n, 6)
+    C = jnp.matmul(jnp.sum(w * Jz2 * Jz2, axis=1)[None], oh_k,
+                   precision=_HI)[0]
+    u = jnp.matmul(jnp.sum(w * r * Jz2, axis=1)[None], oh_k,
+                   precision=_HI)[0]
 
-    Q = 1.0 / (C + lmbda)                                   # (k_cap,)
-
-    EQ = Em * Q[None, :, None]                              # (n, k_cap, 6)
+    Q = 1.0 / (C + lmbda)                                    # (k_cap,)
 
     if structure_only or n == 0:
         dZ = Q * u
         dX = jnp.zeros((n, 6), jnp.float32)
     else:
         # S = B - E Q E^T as a dense (6n, 6n) system (ref ba.py:167-173)
-        Bm = B.transpose(0, 2, 1, 3).reshape(6 * n, 6 * n)
-        Ef = Em.transpose(0, 2, 1).reshape(6 * n, k_cap)
-        EQf = EQ.transpose(0, 2, 1).reshape(6 * n, k_cap)
+        EQf = Ef * Q[None, :]
         S = Bm - jnp.matmul(EQf, Ef.T, precision=_HI)
-        y = vv.reshape(6 * n) - jnp.matmul(EQf, u, precision=_HI)
+        y = vv - jnp.matmul(EQf, u, precision=_HI)
 
         # damping A += (ep + lm*A) * I  (ref blocks block_solve ba.py:73)
         diag = jnp.diagonal(S)

@@ -87,13 +87,16 @@ def patchify(net, coords, radius):
     return blended.transpose(0, 1, 3, 4, 2)
 
 
-@partial(jax.jit, static_argnames=("radius",))
-def corr(gmap, fmap, coords, kidx, fidx, radius=3):
+@partial(jax.jit, static_argnames=("radius", "pad"))
+def corr(gmap, fmap, coords, kidx, fidx, radius=3, pad=0):
     """Local correlation volume.
 
     gmap   (K, P, P, C)  patch features (fmap1 in the reference)
-    fmap   (F, H, W, C)  target feature maps (one pyramid level)
-    coords (E, 2, P, P)  float reprojected patch coords [x, y] in fmap pixels
+    fmap   (F, H+2*pad, W+2*pad, C)  target feature maps (one pyramid
+           level), optionally stored with a ``pad``-pixel border (the
+           engine keeps ring buffers zero-padded for the Pallas path)
+    coords (E, 2, P, P)  float reprojected patch coords [x, y] in
+           UNPADDED fmap pixels
     kidx   (E,) int      patch index into gmap (``us`` in the CUDA kernel)
     fidx   (E,) int      frame index into fmap (``vs``)
     -> (E, 2R+1, 2R+1, P, P) fp32, ordered [x_off, y_off, py, px] to match
@@ -101,7 +104,8 @@ def corr(gmap, fmap, coords, kidx, fidx, radius=3):
     """
     E, _, P, _ = coords.shape
     K, _, _, C = gmap.shape
-    F, H, W, _ = fmap.shape
+    F, Hp, Wp, _ = fmap.shape
+    H, W = Hp - 2 * pad, Wp - 2 * pad
     R = radius
     D = 2 * R + 2
 
@@ -113,8 +117,8 @@ def corr(gmap, fmap, coords, kidx, fidx, radius=3):
     dy = (cy - by)[:, None, None]
 
     g = gmap[kidx].astype(jnp.float32)                     # (E, P, P, C)
-    base_flat = fidx[:, None, None] * (H * W)              # broadcast (E,1,1)
-    fmap_lin = fmap.reshape(F * H * W, C)
+    base_flat = fidx[:, None, None] * (Hp * Wp)            # broadcast (E,1,1)
+    fmap_lin = fmap.reshape(F * Hp * Wp, C)
 
     offs = jnp.stack(jnp.meshgrid(jnp.arange(D) - R, jnp.arange(D) - R,
                                   indexing="ij"), axis=-1).reshape(-1, 2)
@@ -124,7 +128,8 @@ def corr(gmap, fmap, coords, kidx, fidx, radius=3):
         iy = by + oy
         ix = bx + ox
         ok = (iy >= 0) & (iy < H) & (ix >= 0) & (ix < W)
-        lin = base_flat + jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
+        lin = base_flat + (jnp.clip(iy, 0, H - 1) + pad) * Wp \
+            + jnp.clip(ix, 0, W - 1) + pad
         f = jnp.take(fmap_lin, lin.reshape(-1), axis=0)    # (E*P*P, C)
         f = f.reshape(E, P, P, C).astype(jnp.float32)
         s = jnp.einsum("epqc,epqc->epq", g, f, precision=_HI)

@@ -56,3 +56,33 @@ def flatmeshgrid(a, b):
     """Cartesian product of two index arrays, flattened (ref utils.py:85)."""
     aa, bb = jnp.meshgrid(a, b, indexing="ij")
     return aa.reshape(-1), bb.reshape(-1)
+
+
+def neighbors_host(kk, jj, e_num):
+    """Numpy twin of ``neighbors`` for host-side precomputation (the edge
+    bookkeeping lives on the host anyway; passing ix/jx in saves a device
+    sort per update).  Rows >= e_num are invalid."""
+    import numpy as np
+    E = len(kk)
+    kk_m = np.asarray(kk, np.int64).copy()
+    kk_m[e_num:] = np.iinfo(np.int64).max
+    order = np.lexsort((np.asarray(jj), kk_m))
+    kk_sorted = kk_m[order]
+    valid_sorted = np.zeros(E, bool)
+    valid_sorted[:] = order < e_num
+
+    same_prev = np.zeros(E, bool)
+    same_next = np.zeros(E, bool)
+    same_prev[1:] = kk_sorted[1:] == kk_sorted[:-1]
+    same_next[:-1] = kk_sorted[:-1] == kk_sorted[1:]
+    same_prev &= valid_sorted
+    same_next &= valid_sorted
+
+    prev_idx = np.where(same_prev, np.roll(order, 1), -1)
+    next_idx = np.where(same_next, np.roll(order, -1), -1)
+
+    ix = np.full(E, -1, np.int32)
+    jx = np.full(E, -1, np.int32)
+    ix[order] = prev_idx
+    jx[order] = next_idx
+    return ix, jx

@@ -47,6 +47,63 @@ def scatter_softmax(src, index, num_segments):
     return e / denom[index]
 
 
+def sorted_segment_sum(vals_sorted, start, end):
+    """Segment sums for rows already sorted by group, via cumsum
+    differences — O(E*D) with no scatter (TPU scatters serialize).
+
+    vals_sorted (E, D); start/end (E,) int32: for every row, the first and
+    last row index of its group.  Returns the group total broadcast to
+    every row (E, D).
+    """
+    cs = jnp.cumsum(vals_sorted, axis=0)
+    top = cs[end]
+    bot = jnp.where((start > 0)[:, None], cs[jnp.maximum(start - 1, 0)],
+                    0.0)
+    return top - bot
+
+
+def sorted_segment_softmax_sum(gate_sorted, vals_sorted, start, end):
+    """Fused scatter_softmax + weighted scatter_sum for sorted rows.
+
+    Computes w = softmax(gate) within each group and returns
+    sum(w * vals) per group, broadcast to every row.  Stability comes
+    from a global per-column shift (softmax is invariant to constant
+    shifts within a group, and a global column shift is constant within
+    every group).
+    """
+    shift = jax.lax.stop_gradient(
+        jnp.max(gate_sorted, axis=0, keepdims=True))
+    e = jnp.exp(gate_sorted - shift)
+    denom = sorted_segment_sum(e, start, end)
+    w = e / jnp.maximum(denom, 1e-12)
+    return sorted_segment_sum(w * vals_sorted, start, end)
+
+
+def group_meta(ids):
+    """Host-side helper (numpy): sort metadata for sorted-segment ops.
+
+    ids (E,) int group ids (any values; equal ids form a group).
+    Returns (perm, inv_perm, start, end) int32 arrays, where start/end
+    are per SORTED row.
+    """
+    import numpy as np
+    ids = np.asarray(ids)
+    E = len(ids)
+    perm = np.argsort(ids, kind="stable").astype(np.int32)
+    s = ids[perm]
+    new_grp = np.empty(E, bool)
+    new_grp[0] = True
+    new_grp[1:] = s[1:] != s[:-1]
+    grp_id = np.cumsum(new_grp) - 1
+    starts_per_group = np.nonzero(new_grp)[0]
+    ends_per_group = np.append(starts_per_group[1:] - 1, E - 1)
+    start = starts_per_group[grp_id].astype(np.int32)
+    end = ends_per_group[grp_id].astype(np.int32)
+    inv_perm = np.empty(E, np.int32)
+    inv_perm[perm] = np.arange(E, dtype=np.int32)
+    return perm, inv_perm, start, end
+
+
 def compactify(ix, size, fill=jnp.iinfo(jnp.int32).max):
     """Static-shape analogue of ``torch.unique(ix, return_inverse=True)``.
 

@@ -199,13 +199,15 @@ def vonet_rollout(params_update, imap, gmap, fmap_pyr1, fmap_pyr4,
 
         coords_post = pops.transform(Gs, patches, intrinsics,
                                      sch_ii, sch_jj, sch_kk)
-        e = jnp.linalg.norm(coords_post - coords_gt, axis=-1)  # (E, P, P)
+        diff = coords_post - coords_gt
+        # eps-safe norm: the exact-zero diffs of self-pair edges (ii == jj)
+        # make jnp.linalg.norm produce NaN cotangents that grad_clip would
+        # silently zero for the WHOLE parameter tree
+        e = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)   # (E, P, P)
         e = e.reshape(Ecap, P * P)
         vg = (valid_gt > 0.5)
-        # min over valid patch pixels per edge; exclude rows with no valid px
-        e_masked = jnp.where(vg[:, None] > 0, e, jnp.inf)
-        # the reference computes min over pixels of rows where the center
-        # valid flag holds (v is per-edge scalar there)
+        # min over patch pixels of edges whose center is valid (the
+        # reference's v is a per-edge scalar, ref train.py:308)
         e_min = jnp.min(e, axis=-1)
         row = lmask & vg
         flow_err = jnp.sum(jnp.where(row, e_min, 0.0)) \
@@ -249,8 +251,9 @@ def pose_loss_terms(poses_steps, poses_gt):
         dP = lie.se3_mul(lie.se3_inv(P1s[ii]), P1s[jj])
         dG = lie.se3_mul(lie.se3_inv(P2[ii]), P2[jj])
         e1 = lie.se3_log(lie.se3_mul(dP, lie.se3_inv(dG)))
-        tr = jnp.linalg.norm(e1[:, 0:3], axis=-1).mean()
-        ro = jnp.linalg.norm(e1[:, 3:6], axis=-1).mean()
+        # eps-safe norms (exact zeros at identical poses NaN the backward)
+        tr = jnp.sqrt(jnp.sum(e1[:, 0:3] ** 2, -1) + 1e-12).mean()
+        ro = jnp.sqrt(jnp.sum(e1[:, 3:6] ** 2, -1) + 1e-12).mean()
         return tr, ro
 
     return jax.vmap(one)(poses_steps)

@@ -6,7 +6,13 @@ on CPU; multi-chip sharding tests use 8 virtual CPU devices.
 """
 import os
 
-# Must be set before jax is imported anywhere.
+# NOTE: the environment ships with JAX_PLATFORMS=axon (a remote TPU
+# backend) and ALL compiles — cpu included — route through its serialized
+# remote compile service.  Forcing cpu here would recompile the entire
+# suite into a cold cache for no isolation benefit, so tests run on
+# whatever platform the environment provides; test configs pin
+# CORR_BACKEND="xla" so the Mosaic kernel is exercised only by its
+# dedicated interpret-mode tests (test_corr_pallas.py) and on-TPU checks.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

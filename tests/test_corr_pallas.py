@@ -1,0 +1,64 @@
+"""Pallas correlation kernel vs the XLA reference path (interpret mode)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dpvo_tpu.ops import corr as corr_ops
+from dpvo_tpu.ops import corr_pallas as cp
+
+KEY = jax.random.PRNGKey(5)
+
+
+def make_case(E=32, F=3, H=24, W=32, C=128, seed=0):
+    rng = np.random.default_rng(seed)
+    K = 40
+    gmap = jnp.asarray(rng.normal(size=(K, 3, 3, C)), jnp.float32)
+    fmap = jnp.asarray(rng.normal(size=(F, H, W, C)), jnp.float32)
+    # coords in-bounds with margin; grouped by frame per TILE
+    coords = jnp.asarray(rng.uniform(6, min(H, W) - 7, (E, 2, 3, 3)),
+                         jnp.float32)
+    kidx = jnp.asarray(rng.integers(0, K, E), jnp.int32)
+    n_tiles = E // cp.TILE
+    tf = jnp.asarray(rng.integers(0, F, n_tiles), jnp.int32)
+    fidx = jnp.repeat(tf, cp.TILE)
+    return gmap, fmap, coords, kidx, fidx, tf
+
+
+def test_matches_xla_reference():
+    gmap, fmap, coords, kidx, fidx, tf = make_case()
+    ref = corr_ops.corr(gmap, fmap, coords, kidx, fidx, radius=3)
+    out = cp.corr_grouped(gmap, cp.pad_fmap(fmap), coords, kidx, tf,
+                          interpret=True)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_out_of_bounds_zeros():
+    """Windows fully outside the frame must produce zeros (CUDA
+    bounds-mask semantics)."""
+    gmap, fmap, coords, kidx, fidx, tf = make_case()
+    # push the first tile's coords far outside
+    coords = coords.at[:cp.TILE].set(-500.0)
+    out = cp.corr_grouped(gmap, cp.pad_fmap(fmap), coords, kidx, tf,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(out[:cp.TILE]), 0.0)
+    # and matches the reference on those edges too
+    ref = corr_ops.corr(gmap, fmap, coords, kidx, fidx, radius=3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-3)
+
+
+def test_border_windows_match():
+    """Partially overlapping windows at the image border."""
+    gmap, fmap, coords, kidx, fidx, tf = make_case()
+    edge_coords = jnp.asarray(
+        np.random.default_rng(7).uniform(-2, 4, (cp.TILE, 2, 3, 3)),
+        jnp.float32)
+    coords = coords.at[:cp.TILE].set(edge_coords)
+    ref = corr_ops.corr(gmap, fmap, coords, kidx, fidx, radius=3)
+    out = cp.corr_grouped(gmap, cp.pad_fmap(fmap), coords, kidx, tf,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-3, rtol=1e-3)

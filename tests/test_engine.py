@@ -25,6 +25,7 @@ TINY = VOConfig(
     EDGE_CAPACITY=512,
     BA_WINDOW_CAP=8,
     LOOP_CLOSURE=False,
+    CORR_BACKEND="xla",
 )
 
 HT, WD = 64, 96

@@ -1,0 +1,114 @@
+"""Sorted-segment ops vs scatter-based references, and the engine's host
+grouping helpers."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dpvo_tpu.ops import scatter
+
+KEY = jax.random.PRNGKey(9)
+
+
+def test_group_meta():
+    ids = np.array([5, 2, 5, 9, 2, 2])
+    perm, inv, start, end = scatter.group_meta(ids)
+    s = ids[perm]
+    assert (np.diff(s) >= 0).all()
+    # start/end bound each sorted row's group
+    for r in range(6):
+        assert (s[start[r]:end[r] + 1] == s[r]).all()
+    # inv is the inverse of perm
+    np.testing.assert_array_equal(perm[inv], np.arange(6))
+
+
+def test_sorted_segment_sum_matches_segment_sum():
+    rng = np.random.default_rng(0)
+    E, D = 200, 16
+    ids = rng.integers(0, 20, E)
+    vals = jnp.asarray(rng.normal(size=(E, D)), jnp.float32)
+    perm, inv, start, end = scatter.group_meta(ids)
+
+    out_rows = scatter.sorted_segment_sum(vals[perm], jnp.asarray(start),
+                                          jnp.asarray(end))
+    # broadcast-back comparison with scatter path
+    ref = scatter.scatter_sum(vals, jnp.asarray(ids), 20)
+    np.testing.assert_allclose(np.asarray(out_rows[inv]),
+                               np.asarray(ref)[ids], atol=1e-4)
+
+
+def test_sorted_softmax_sum_matches_scatter_path():
+    rng = np.random.default_rng(1)
+    E, D = 150, 8
+    ids = rng.integers(0, 12, E)
+    gate = jnp.asarray(rng.normal(size=(E, D)) * 3, jnp.float32)
+    vals = jnp.asarray(rng.normal(size=(E, D)), jnp.float32)
+
+    perm, inv, start, end = scatter.group_meta(ids)
+    out = scatter.sorted_segment_softmax_sum(
+        gate[perm], vals[perm], jnp.asarray(start), jnp.asarray(end))[inv]
+
+    w = scatter.scatter_softmax(gate, jnp.asarray(ids), 12)
+    y = scatter.scatter_sum(w * vals, jnp.asarray(ids), 12)
+    ref = np.asarray(y)[ids]
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+
+
+def test_softagg_sorted_path_matches_generic():
+    from dpvo_tpu.models.blocks import SoftAgg
+    rng = np.random.default_rng(2)
+    E, D = 64, 16
+    ids = rng.integers(0, 7, E)
+    x = jnp.asarray(rng.normal(size=(E, D)), jnp.float32)
+
+    m = SoftAgg(D)
+    # generic path init/apply
+    _, ku = scatter.compactify(jnp.asarray(ids), size=E)
+    params = m.init(KEY, x, ku, E)
+    out_generic = m.apply(params, x, ku, E)
+
+    meta = tuple(jnp.asarray(a) for a in scatter.group_meta(ids))
+    out_sorted = m.apply(params, x, sorted_meta=meta)
+    np.testing.assert_allclose(np.asarray(out_sorted),
+                               np.asarray(out_generic), atol=1e-4)
+
+
+def test_engine_corr_grouping():
+    """Host grouping produces frame-pure tiles covering every edge."""
+    from dpvo_tpu.config import VOConfig
+    from dpvo_tpu.engine import DPVO
+    from dpvo_tpu.ops.corr_pallas import TILE
+
+    cfg = VOConfig(BUFFER_SIZE=64, PATCHES_PER_FRAME=8, EDGE_CAPACITY=256,
+                   MIXED_PRECISION=False, CORR_BACKEND="xla")
+    slam = DPVO(cfg, network=None, ht=64, wd=96)
+    rng = np.random.default_rng(0)
+    e = 100
+    slam.hs.jj[:e] = rng.integers(0, 20, e)
+    slam.hs.e_num = e
+
+    perm, inv, tile_frame = [np.asarray(a) for a in slam._corr_grouping()]
+    E, Es = slam.E_cap, slam.E_sort_cap
+    assert len(perm) == Es and Es % TILE == 0
+    # every table row appears exactly once at its inv position
+    np.testing.assert_array_equal(perm[inv], np.arange(E))
+    # tiles are frame-pure: all edges in tile t target slot tile_frame[t]
+    slots = slam.hs.jj % slam.mem
+    for t in range(Es // TILE):
+        rows = perm[t * TILE:(t + 1) * TILE]
+        assert (slots[rows] == tile_frame[t]).all()
+
+
+def test_neighbors_host_matches_device():
+    from dpvo_tpu.ops import graph
+    import jax.numpy as jnp
+    rng = np.random.default_rng(5)
+    E, e_num = 64, 50
+    kk = rng.integers(0, 12, E).astype(np.int32)
+    jj = rng.integers(0, 8, E).astype(np.int32)
+    valid = np.arange(E) < e_num
+
+    ix_h, jx_h = graph.neighbors_host(kk, jj, e_num)
+    ix_d, jx_d = graph.neighbors(jnp.asarray(kk), jnp.asarray(jj),
+                                 jnp.asarray(valid))
+    np.testing.assert_array_equal(ix_h, np.asarray(ix_d))
+    np.testing.assert_array_equal(jx_h, np.asarray(jx_d))

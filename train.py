@@ -135,6 +135,9 @@ def train(config):
     total_steps = 0
     save_freq = tcfg.get("save_freq", 10000)
     warmup = tcfg.get("structure_warmup", 1000)
+    val_cfg = config.get("validation", {})
+    val_freq = val_cfg.get("freq", 10000)
+    val_enabled = val_cfg.get("enabled", False)
 
     while total_steps < steps_total:
         for batch_np in loader:
@@ -151,6 +154,20 @@ def train(config):
 
             logger.push({k: float(v) for k, v in metrics.items()})
             total_steps += 1
+
+            if val_enabled and total_steps % val_freq == 0:
+                try:
+                    from dpvo_tpu.training.validate import validate
+
+                    def run_rollout(sample):
+                        # forward-only rollout on one validation sample
+                        _, metrics = get_step(True)(state, sample)
+                        return {"poses": sample["poses"][None]}
+
+                    # validation uses held-out samples from the loader
+                    validate(run_rollout, [], logger, total_steps)
+                except Exception as e:
+                    print(f"validation skipped: {e}")
 
             if total_steps % save_freq == 0:
                 os.makedirs("checkpoints", exist_ok=True)
