@@ -32,6 +32,8 @@ def main():
     slam = DPVO(cfg, network=None, ht=ht, wd=wd)
     # random weights produce arbitrary motion probes; force tracking
     slam.motion_probe = lambda: 100.0
+    import os
+    timing = bool(os.environ.get("DPVO_TIMING"))
 
     rng = np.random.default_rng(0)
     base = rng.integers(0, 255, size=(ht, wd * 2, 3), dtype=np.uint8)
@@ -50,11 +52,15 @@ def main():
 
     import jax
     jax.block_until_ready(slam.ds.poses)
+    slam.enable_timing = timing
     t0 = time.perf_counter()
     for t in range(n_warm, n_warm + n_bench):
         slam(t, frame(t), intr)
     jax.block_until_ready(slam.ds.poses)
     dt = time.perf_counter() - t0
+    if timing:
+        for k, (ms, cnt) in slam.timing_report().items():
+            print(f"  {k:20s} {ms:8.2f} ms  x{cnt}", file=sys.stderr)
 
     fps = n_bench / dt
     print(json.dumps({

@@ -167,10 +167,10 @@ def _corr_features_pallas(gmap_buf, fmap1_buf, fmap2_buf, coords2, kk_mod,
 @partial(jax.jit,
          static_argnames=("update_mod", "M", "pmem", "mem", "n_cap",
                           "k_cap", "iterations", "run_ba", "use_pallas"),
-         donate_argnums=(1, 2, 8))
+         donate_argnums=(1, 2, 8, 9, 10))
 def update_step(params, poses, patches_buf, intrinsics_buf,
                 imap_buf, gmap_buf, fmap1_buf, fmap2_buf,
-                net, ii, jj, kk, valid, t0, t1,
+                net_tab, target_tab, weight_tab, ii, jj, kk, valid, t0, t1,
                 update_mod: Update, M, pmem, mem, n_cap, k_cap,
                 iterations=2, run_ba=True, use_pallas=False,
                 corr_perm=None, corr_inv=None, tile_frame=None,
@@ -178,12 +178,18 @@ def update_step(params, poses, patches_buf, intrinsics_buf,
     """Reproject -> correlate -> recurrent update -> bundle adjust
     (ref dpvo.py:328-356).
 
-    All edge arrays are capacity-padded; ``valid`` masks live slots.
-    Returns (net', target, weight, delta, poses', patches_buf').
+    Edge arrays (ii/jj/kk/valid and the corr/agg metadata) arrive sliced
+    to a power-of-two bucket of the live edge count; the full-capacity
+    net/target/weight tables are sliced to the bucket in here and written
+    back in place (donated), so the per-update compute scales with the
+    live edge count instead of EDGE_CAPACITY.
+    Returns (net_tab', target_tab', weight_tab', delta, poses',
+    patches_buf').
     """
-    E = ii.shape[0]
+    E = ii.shape[0]  # the bucket size
     P = patches_buf.shape[-1]
     c = P // 2
+    net = jax.lax.dynamic_slice(net_tab, (0, 0), (E, net_tab.shape[1]))
 
     # reproject all patch pixels (ref dpvo.py:209-213)
     ii_s = jnp.where(valid, ii, 0)
@@ -218,7 +224,13 @@ def update_step(params, poses, patches_buf, intrinsics_buf,
             jnp.float32(1e-4), ii_s, jj_s, kk_s, valid, t0, t1,
             n_cap=n_cap, k_cap=k_cap, iterations=iterations)
 
-    return net, target, weight, delta, poses, patches_buf
+    net_tab = jax.lax.dynamic_update_slice(
+        net_tab, net.astype(net_tab.dtype), (0, 0))
+    target_tab = jax.lax.dynamic_update_slice(
+        target_tab, target.astype(target_tab.dtype), (0, 0))
+    weight_tab = jax.lax.dynamic_update_slice(
+        weight_tab, weight.astype(weight_tab.dtype), (0, 0))
+    return net_tab, target_tab, weight_tab, delta, poses, patches_buf
 
 
 @partial(jax.jit, static_argnames=("update_mod", "M", "pmem", "mem"))
@@ -257,6 +269,20 @@ def flowmag_pair(poses, patches_buf, intrinsics_buf, ii, jj, kk, valid):
     m = valid[:, None, None].astype(jnp.float32)
     cnt = jnp.maximum(m.sum() * flow.shape[1] * flow.shape[2], 1.0)
     return jnp.sum(flow * m) / cnt
+
+
+@jax.jit
+def flowmag_two(poses, patches_buf, intrinsics_buf,
+                ii_a, jj_a, kk_a, valid_a,
+                ii_b, jj_b, kk_b, valid_b):
+    """Both keyframe motionmag directions in ONE dispatch so the host
+    pays a single device sync per frame (ref dpvo.py:268 computes
+    motionmag(i, j) + motionmag(j, i) as two calls)."""
+    ma = flowmag_pair(poses, patches_buf, intrinsics_buf,
+                      ii_a, jj_a, kk_a, valid_a)
+    mb = flowmag_pair(poses, patches_buf, intrinsics_buf,
+                      ii_b, jj_b, kk_b, valid_b)
+    return ma + mb
 
 
 @partial(jax.jit, static_argnames=("M", "pmem", "mem", "shift_cap"),

@@ -80,9 +80,10 @@ def allocate(cfg: VOConfig, ht: int, wd: int, P: int = 3,
         pmem = cfg.MAX_EDGE_AGE if cfg.LOOP_CLOSURE else mem
     h, w = ht // 4, wd // 4
     ctype = jnp.bfloat16 if cfg.MIXED_PRECISION else jnp.float32
-    # feature maps are stored zero-padded (PAD each side) so the Pallas
-    # correlation kernel can slice tap windows with no bounds logic
-    from ..ops.corr_pallas import PAD
+    # feature maps are stored zero-padded (see corr_pallas.padded_hw) so
+    # the Pallas correlation kernel can slice aligned tap windows with no
+    # bounds logic
+    from ..ops.corr_pallas import padded_hw
 
     poses = jnp.zeros((N, 7), jnp.float32).at[:, 6].set(1.0)
     return DeviceState(
@@ -93,9 +94,8 @@ def allocate(cfg: VOConfig, ht: int, wd: int, P: int = 3,
         points=jnp.zeros((N * M, 3), jnp.float32),
         imap=jnp.zeros((pmem * M, DIM), ctype),
         gmap=jnp.zeros((pmem * M, P, P, 128), ctype),
-        fmap1=jnp.zeros((mem, h + 2 * PAD, w + 2 * PAD, 128), ctype),
-        fmap2=jnp.zeros((mem, h // 4 + 2 * PAD, w // 4 + 2 * PAD, 128),
-                        ctype),
+        fmap1=jnp.zeros((mem, *padded_hw(h, w), 128), ctype),
+        fmap2=jnp.zeros((mem, *padded_hw(h // 4, w // 4), 128), ctype),
         net=jnp.zeros((E, DIM), jnp.float32),
         target=jnp.zeros((E, 2), jnp.float32),
         weight=jnp.zeros((E, 2), jnp.float32),

@@ -92,9 +92,12 @@ def corr(gmap, fmap, coords, kidx, fidx, radius=3, pad=0):
     """Local correlation volume.
 
     gmap   (K, P, P, C)  patch features (fmap1 in the reference)
-    fmap   (F, H+2*pad, W+2*pad, C)  target feature maps (one pyramid
-           level), optionally stored with a ``pad``-pixel border (the
-           engine keeps ring buffers zero-padded for the Pallas path)
+    fmap   (F, Hp, Wp, C)  target feature maps (one pyramid level),
+           optionally stored with a zero border of >= ``pad`` pixels on
+           every side (corr_pallas.pad_fmap geometry; the engine keeps
+           ring buffers zero-padded for the Pallas path).  With pad > 0
+           the bounds masking happens by clamping taps into the zero
+           border instead of an explicit mask — identical results.
     coords (E, 2, P, P)  float reprojected patch coords [x, y] in
            UNPADDED fmap pixels
     kidx   (E,) int      patch index into gmap (``us`` in the CUDA kernel)
@@ -105,7 +108,7 @@ def corr(gmap, fmap, coords, kidx, fidx, radius=3, pad=0):
     E, _, P, _ = coords.shape
     K, _, _, C = gmap.shape
     F, Hp, Wp, _ = fmap.shape
-    H, W = Hp - 2 * pad, Wp - 2 * pad
+    H, W = Hp - 2 * pad, Wp - 2 * pad  # only used when pad == 0
     R = radius
     D = 2 * R + 2
 
@@ -127,13 +130,21 @@ def corr(gmap, fmap, coords, kidx, fidx, radius=3, pad=0):
         oy, ox = o[0], o[1]
         iy = by + oy
         ix = bx + ox
-        ok = (iy >= 0) & (iy < H) & (ix >= 0) & (ix < W)
-        lin = base_flat + (jnp.clip(iy, 0, H - 1) + pad) * Wp \
-            + jnp.clip(ix, 0, W - 1) + pad
-        f = jnp.take(fmap_lin, lin.reshape(-1), axis=0)    # (E*P*P, C)
-        f = f.reshape(E, P, P, C).astype(jnp.float32)
-        s = jnp.einsum("epqc,epqc->epq", g, f, precision=_HI)
-        s = jnp.where(ok, s, 0.0)
+        if pad > 0:
+            # zero-border clamp: out-of-image taps read zeros
+            lin = base_flat + jnp.clip(iy + pad, 0, Hp - 1) * Wp \
+                + jnp.clip(ix + pad, 0, Wp - 1)
+            f = jnp.take(fmap_lin, lin.reshape(-1), axis=0)
+            f = f.reshape(E, P, P, C).astype(jnp.float32)
+            s = jnp.einsum("epqc,epqc->epq", g, f, precision=_HI)
+        else:
+            ok = (iy >= 0) & (iy < H) & (ix >= 0) & (ix < W)
+            lin = base_flat + jnp.clip(iy, 0, H - 1) * Wp \
+                + jnp.clip(ix, 0, W - 1)
+            f = jnp.take(fmap_lin, lin.reshape(-1), axis=0)
+            f = f.reshape(E, P, P, C).astype(jnp.float32)
+            s = jnp.einsum("epqc,epqc->epq", g, f, precision=_HI)
+            s = jnp.where(ok, s, 0.0)
         return carry, s
 
     _, taps = jax.lax.scan(step, None, offs)               # (D*D, E, P, P)

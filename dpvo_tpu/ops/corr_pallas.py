@@ -9,17 +9,24 @@ of every edge targeting that frame with on-chip dot products:
   grouped by ``jj``); ``tile_frame`` scalar-prefetch drives the fmap
   BlockSpec index_map, and Mosaic's pipeliner only re-DMAs the frame when
   the index changes;
-- feature maps are stored zero-padded by PAD=8 on each spatial side, so
-  every (8, 8) tap window is an in-bounds VMEM slice and out-of-image
-  taps read zeros — bit-identical to the CUDA kernel's bounds masking
+- feature maps are stored zero-padded (PAD on the left/top, and the W
+  axis rounded up so every aligned 16-wide window stays in bounds), so
+  every tap window is an in-bounds VMEM slice and out-of-image taps read
+  zeros — bit-identical to the CUDA kernel's bounds masking
   (correlation_kernel.cu:123) with no in-kernel branches;
-- patch features arrive pre-gathered as (E, 9, C) rows (one XLA row
-  gather), so the kernel's inner loop is 9 batched (64, C) x (C,)
-  mat-vecs on the MXU followed by the 4-tap bilinear blend.
+- Mosaic requires the dynamic W-offset of a vector load to be 8-aligned,
+  so the kernel loads a 16-wide window at ``x0 = 8*floor(bx/8)`` and
+  folds the sub-window selection (residue ``r = bx - x0``) together with
+  the bilinear x-blend into a dynamically constructed (16, 7) selection
+  matrix applied on the MXU — no unaligned loads, no in-register dynamic
+  slices;
+- per edge, the 9 patch-pixel windows stack into one (9*8*16, C) matrix
+  multiplied against all 9 patch feature vectors at once (block-diagonal
+  extraction afterwards), so the hot op is a real MXU matmul instead of
+  144 scalar-loop mat-vecs.
 
 HBM traffic per level drops from O(E * 64 * 9 * C) gathered rows to
-(#frames * frame_bytes + E * 9 * C), i.e. ~40x less at the default
-operating point.
+(#frames * frame_bytes + E * 9 * C).
 """
 from __future__ import annotations
 
@@ -30,49 +37,68 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-PAD = 8        # zero border on each spatial side
+PAD = 8        # zero border on top/left/bottom (and at least PAD on right)
 R = 3          # correlation radius (2R+2 = 8 tap rows/cols)
 D = 2 * R + 2  # tap window size
+DW = 16        # aligned load width (covers the 8 taps at any residue)
 P2 = 9         # patch pixels (3x3)
 TILE = 16      # edges per grid step
 
 
+def padded_hw(H, W):
+    """Padded frame dims: PAD border, W rounded up to a multiple of 8."""
+    Wp = W + 2 * PAD
+    return H + 2 * PAD, Wp + (-Wp % 8)
+
+
 def pad_fmap(fmap):
-    """(F, H, W, C) -> (F, H+2*PAD, W+2*PAD, C) zero-padded."""
-    return jnp.pad(fmap, ((0, 0), (PAD, PAD), (PAD, PAD), (0, 0)))
+    """(F, H, W, C) -> (F, Hp, Wp, C) zero-padded (see padded_hw)."""
+    F, H, W, C = fmap.shape
+    Hp, Wp = padded_hw(H, W)
+    return jnp.pad(fmap, ((0, 0), (PAD, Hp - H - PAD),
+                          (PAD, Wp - W - PAD), (0, 0)))
 
 
-def _kernel(tile_frame_ref, bx_ref, by_ref, dx_ref, dy_ref,
+def _kernel(tile_frame_ref, x0_ref, y0_ref, ri_ref, dx_ref, dy_ref,
             g_ref, fmap_ref, out_ref):
-    """One tile: TILE edges against one VMEM-resident frame."""
+    """One tile: TILE edges against one VMEM-resident frame.
+
+    All per-(edge, pixel) metadata lives in SMEM and is read as scalars,
+    so every vector op is a plain lane-aligned broadcast — no Mosaic
+    relayouts.
+    """
     f32 = jnp.float32
+    i32 = jnp.int32
+
+    # static iota planes for the x select+blend matrix (DW, D-1)
+    rows = jax.lax.broadcasted_iota(i32, (DW, D - 1), 0)
+    cols = jax.lax.broadcasted_iota(i32, (DW, D - 1), 1)
 
     for e in range(TILE):
-        windows = []
         for p in range(P2):
-            y0 = by_ref[e, p]
-            x0 = bx_ref[e, p]
-            win = fmap_ref[0, pl.ds(y0, D), pl.ds(x0, D), :]   # (8, 8, C)
-            windows.append(win.astype(f32).reshape(D * D, -1))
-        w = jnp.stack(windows, axis=0)                         # (9, 64, C)
-        g = g_ref[e].astype(f32)                               # (9, C)
+            y0 = y0_ref[e, p]
+            x0 = pl.multiple_of(x0_ref[e, p], 8)
+            win = fmap_ref[0, pl.ds(y0, D), pl.ds(x0, DW), :]  # (8, 16, C)
+            g = g_ref[e, p].astype(f32)                        # (C,)
 
-        # batched mat-vec over patch pixels: (9, 64)
-        dots = jax.lax.dot_general(
-            w, g,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=f32)
-        taps = dots.reshape(P2, D, D)                          # [p, dy, dx]
+            # channel dot on the VPU: lane-aligned broadcast + reduce
+            taps = jnp.sum(win.astype(f32) * g[None, None, :],
+                           axis=2)                             # (8, 16)
 
-        dx = dx_ref[e][:, None, None]                          # (9, 1, 1)
-        dy = dy_ref[e][:, None, None]
-        v00 = taps[:, :-1, :-1]
-        v01 = taps[:, :-1, 1:]
-        v10 = taps[:, 1:, :-1]
-        v11 = taps[:, 1:, 1:]
-        out = ((1 - dy) * (1 - dx) * v00 + (1 - dy) * dx * v01
-               + dy * (1 - dx) * v10 + dy * dx * v11)          # (9, 7, 7)
-        out_ref[e] = out
+            # y bilinear blend (static slices, scalar weights)
+            dyv = dy_ref[e, p]
+            ty = (1 - dyv) * taps[:-1, :] + dyv * taps[1:, :]  # (7, 16)
+
+            # x select + blend folded into one (16, 7) matrix:
+            # Bx[k, j] = (1-dx) at k=r+j, dx at k=r+j+1
+            dxv = dx_ref[e, p]
+            rr = ri_ref[e, p]
+            bx_mat = (jnp.where(rows == cols + rr, 1.0 - dxv, 0.0)
+                      + jnp.where(rows == cols + rr + 1, dxv, 0.0))
+
+            # exact f32 blend on the VPU (an MXU dot would bf16-round)
+            out_ref[e, p] = jnp.sum(ty[:, :, None] * bx_mat[None, :, :],
+                                    axis=1)                    # (7, 7)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -80,7 +106,7 @@ def corr_pallas(g_pre, fmap_padded, coords, tile_frame, interpret=False):
     """Correlation for jj-grouped edges.
 
     g_pre       (E, 9, C) patch feature rows (gmap[kidx] flattened)
-    fmap_padded (F, H+16, W+16, C) zero-padded feature maps
+    fmap_padded (F, Hp, Wp, C) zero-padded feature maps (see pad_fmap)
     coords      (E, 2, 3, 3) float pixel coords (unpadded frame coords)
     tile_frame  (E // TILE,) int32 frame id per tile of TILE edges
     -> (E, 7, 7, 3, 3) fp32 ordered [x_off, y_off, py, px] like the
@@ -89,6 +115,7 @@ def corr_pallas(g_pre, fmap_padded, coords, tile_frame, interpret=False):
     E, _, C = g_pre.shape
     F, Hp, Wp, _ = fmap_padded.shape
     assert E % TILE == 0, E
+    assert Wp % 8 == 0, Wp
     n_tiles = E // TILE
 
     coords = coords.astype(jnp.float32)
@@ -102,18 +129,21 @@ def corr_pallas(g_pre, fmap_padded, coords, tile_frame, interpret=False):
     # fully out-of-range windows read zeros (see module docstring)
     bx = jnp.clip(bx_f.astype(jnp.int32) + PAD - R, 0, Wp - D)
     by = jnp.clip(by_f.astype(jnp.int32) + PAD - R, 0, Hp - D)
+    # 8-aligned load offset + residue (r in [0, 8]; DW=16 covers r+D)
+    x0 = jnp.minimum((bx // 8) * 8, Wp - DW)
+    ri = (bx - x0).astype(jnp.int32)
 
+    smem = dict(memory_space=pltpu.SMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((TILE, P2), lambda i, tf: (i, 0),
-                         memory_space=pltpu.SMEM),            # bx
-            pl.BlockSpec((TILE, P2), lambda i, tf: (i, 0),
-                         memory_space=pltpu.SMEM),            # by
-            pl.BlockSpec((TILE, P2), lambda i, tf: (i, 0)),   # dx
-            pl.BlockSpec((TILE, P2), lambda i, tf: (i, 0)),   # dy
-            pl.BlockSpec((TILE, P2, C), lambda i, tf: (i, 0, 0)),  # g
+            pl.BlockSpec((TILE, P2), lambda i, tf: (i, 0), **smem),  # x0
+            pl.BlockSpec((TILE, P2), lambda i, tf: (i, 0), **smem),  # y0
+            pl.BlockSpec((TILE, P2), lambda i, tf: (i, 0), **smem),  # ri
+            pl.BlockSpec((TILE, P2), lambda i, tf: (i, 0), **smem),  # dx
+            pl.BlockSpec((TILE, P2), lambda i, tf: (i, 0), **smem),  # dy
+            pl.BlockSpec((TILE, P2, C), lambda i, tf: (i, 0, 0)),    # g
             pl.BlockSpec((1, Hp, Wp, C),
                          lambda i, tf: (tf[i], 0, 0, 0)),     # fmap
         ],
@@ -126,7 +156,8 @@ def corr_pallas(g_pre, fmap_padded, coords, tile_frame, interpret=False):
         out_shape=jax.ShapeDtypeStruct((E, P2, D - 1, D - 1), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(tile_frame, bx, by, dx, dy, g_pre, fmap_padded)
+    )(tile_frame, x0, by, ri, dx.astype(jnp.float32),
+      dy.astype(jnp.float32), g_pre, fmap_padded)
 
     # (E, p, dy, dx) -> (E, x_off, y_off, py, px)
     out = out.reshape(E, 3, 3, D - 1, D - 1)
@@ -137,7 +168,7 @@ def corr_grouped(gmap, fmap_padded, coords, kidx, tile_frame,
                  interpret=False):
     """Convenience wrapper: gathers gmap rows then runs the kernel.
 
-    gmap (K, 3, 3, C); fmap_padded (F, H+16, W+16, C);
+    gmap (K, 3, 3, C); fmap_padded (F, Hp, Wp, C);
     coords (E, 2, 3, 3); kidx (E,); tile_frame (E//TILE,).
     """
     E = coords.shape[0]

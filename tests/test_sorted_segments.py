@@ -86,13 +86,15 @@ def test_engine_corr_grouping():
     slam.hs.jj[:e] = rng.integers(0, 20, e)
     slam.hs.e_num = e
 
-    perm, inv, tile_frame = [np.asarray(a) for a in slam._corr_grouping()]
-    E, Es = slam.E_cap, slam.E_sort_cap
+    bucket = slam._edge_bucket()
+    perm, inv, tile_frame = [np.asarray(a)
+                             for a in slam._corr_grouping(bucket)]
+    E, Es = bucket, bucket + slam.mem * TILE
     assert len(perm) == Es and Es % TILE == 0
     # every table row appears exactly once at its inv position
     np.testing.assert_array_equal(perm[inv], np.arange(E))
     # tiles are frame-pure: all edges in tile t target slot tile_frame[t]
-    slots = slam.hs.jj % slam.mem
+    slots = slam.hs.jj[:bucket] % slam.mem
     for t in range(Es // TILE):
         rows = perm[t * TILE:(t + 1) * TILE]
         assert (slots[rows] == tile_frame[t]).all()
