@@ -66,12 +66,15 @@ class Update(nn.Module):
             ix, jx = graph.neighbors(kk, jj, valid)
         mask_ix = (ix >= 0)[:, None].astype(dt)
         mask_jx = (jx >= 0)[:, None].astype(dt)
-        net_ix = net[jnp.maximum(ix, 0)] * mask_ix
-        net_jx = net[jnp.maximum(jx, 0)] * mask_jx
 
+        # sequential like the reference (net.py:76-77): the jx gather
+        # sees the state AFTER the c1 residual
+        net_ix = net[jnp.maximum(ix, 0)] * mask_ix
         h = nn.Dense(DIM, dtype=dt, name="c1_0")(net_ix)
         h = nn.relu(h)
         net = net + nn.Dense(DIM, dtype=dt, name="c1_1")(h)
+
+        net_jx = net[jnp.maximum(jx, 0)] * mask_jx
         h = nn.Dense(DIM, dtype=dt, name="c2_0")(net_jx)
         h = nn.relu(h)
         net = net + nn.Dense(DIM, dtype=dt, name="c2_1")(h)

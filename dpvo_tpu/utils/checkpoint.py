@@ -93,16 +93,29 @@ def load_torch_network(path):
     """
     import torch
     raw = torch.load(path, map_location="cpu", weights_only=True)
+    return convert_state_dict(raw)
+
+
+def convert_state_dict(raw):
+    """Convert a reference VONet state_dict (name -> tensor/ndarray) into
+    (params_patchify, params_update) flax trees (used directly by the
+    torch-parity tests)."""
     sd = {}
     for k, v in raw.items():
         if "update.lmbda" in k:
             continue
-        sd[k.replace("module.", "")] = v.detach().numpy()
+        v = v.detach().numpy() if hasattr(v, "detach") else np.asarray(v)
+        sd[k.replace("module.", "")] = v
+
+    has_patchify = any(k.startswith("patchify.") for k in sd)
+    has_update = any(k.startswith("update.") for k in sd)
 
     patchify = {"params": {
         "fnet": _encoder_tree(sd, "patchify.fnet"),
         "inet": _encoder_tree(sd, "patchify.inet"),
-    }}
+    }} if has_patchify else None
+    if not has_update:
+        return patchify, None
 
     u = "update"
     upd = {
