@@ -92,8 +92,10 @@ class DPVO:
             self.use_pallas = jax.default_backend() not in ("cpu",)
         else:
             self.use_pallas = cfg.CORR_BACKEND == "pallas"
-        # host metadata (sorts) runs in parallel threads each update
-        self._meta_pool = ThreadPoolExecutor(max_workers=3)
+        # host metadata (sorts) + async keyframe fetch run in worker
+        # threads (numpy sorts and device fetches release the GIL)
+        self._meta_pool = ThreadPoolExecutor(max_workers=4)
+        self._kf_pending = None
 
     # --- weights -----------------------------------------------------------
 
@@ -419,7 +421,12 @@ class DPVO:
         k_cap = 1 << math.ceil(math.log2(
             max(len(np.unique(kk)) + 8, 1024)))
 
-        ds.poses, ds.patches = ba_ops.ba_iterative(
+        # large windows use the compressed-coupling Schur-CG solver
+        # (EfficentE analog, ref block_e.cu eff_impl=True): the dense
+        # window solver would materialize (E, 2, 6*n_cap)
+        ba_fn = (ba_ops.ba_global if n_cap >= 64
+                 else ba_ops.ba_iterative)
+        ds.poses, ds.patches = ba_fn(
             ds.poses, ds.patches, ds.intrinsics[0],
             jnp.asarray(t_p), jnp.asarray(w_p), jnp.float32(1e-4),
             jnp.asarray(ii_p), jnp.asarray(jj_p), jnp.asarray(kk_p),
@@ -428,22 +435,16 @@ class DPVO:
         self.ran_global_ba[self.n] = True
 
     def normalize(self):
-        """Rescale depths/poses (ref patchgraph.py:84-91)."""
+        """Rescale depths/poses (ref patchgraph.py:84-91).
+
+        Fully device-side: the scale stays a device scalar (guarded by a
+        where() instead of a host branch), so this path never blocks —
+        a host sync costs ~27ms through a remote-TPU tunnel."""
         ds, hs = self.ds, self.hs
-        n, M = self.n, self.M
-        patches = ds.patches
-        s = float(jnp.mean(patches[:n * M, 2]))
-        if not np.isfinite(s) or s <= 0:
-            return
-        ds.patches = patches.at[:n * M, 2].divide(s)
-        poses = ds.poses
-        poses = poses.at[:n, :3].multiply(s)
-        first_inv = lie.se3_inv(poses[0])
-        new_poses = lie.se3_mul(poses[:n], first_inv[None])
-        ds.poses = poses.at[:n].set(new_poses)
+        ds.poses, ds.patches, s = kernels.normalize_scene(
+            ds.poses, ds.patches, jnp.int32(self.n), M=self.M)
         for t, (t0, dP) in hs.delta.items():
-            hs.delta[t] = (t0, np.asarray(lie.se3_scale(jnp.asarray(dP),
-                                                        s)))
+            hs.delta[t] = (t0, lie.se3_scale(jnp.asarray(dP), s))
 
     def _motionmag_edges(self, i, j, cap=256):
         """Fixed-capacity edge slice for one motionmag direction.
@@ -478,29 +479,37 @@ class DPVO:
             jnp.asarray(valid))
         return float(mag)
 
-    def keyframe(self):
-        """ref dpvo.py:266-310."""
-        cfg = self.cfg
-        hs, ds = self.hs, self.ds
+    def _motionmag_launch(self):
+        """Dispatch both keyframe motionmag directions (one program) and
+        hand the scalar to a worker thread to fetch — the tracking
+        thread never blocks on it."""
+        cfg, ds = self.cfg, self.ds
         i = self.n - cfg.KEYFRAME_INDEX - 1
         j = self.n - cfg.KEYFRAME_INDEX + 1
-        # both directions in one dispatch: exactly one device sync here
         a = self._motionmag_edges(i, j)
         b = self._motionmag_edges(j, i)
         if a[4] == 0 and b[4] == 0:
-            m = 0.0
-        else:
-            m = float(kernels.flowmag_two(
-                ds.poses, ds.patches, ds.intrinsics,
-                *(jnp.asarray(x) for x in a[:4]),
-                *(jnp.asarray(x) for x in b[:4])))
+            return None
+        mag = kernels.flowmag_two(
+            ds.poses, ds.patches, ds.intrinsics,
+            *(jnp.asarray(x) for x in a[:4]),
+            *(jnp.asarray(x) for x in b[:4]))
+        return self._meta_pool.submit(float, mag)
 
+    def _keyframe_apply(self, m, lag=0):
+        """Merge the candidate frame if motion is small
+        (ref dpvo.py:269-303).  ``lag`` = frames elapsed since the
+        motion check was launched, so the merge targets the frame the
+        measurement was actually about."""
+        cfg = self.cfg
+        hs, ds = self.hs, self.ds
         if m / 2 < cfg.KEYFRAME_THRESH:
-            k = self.n - cfg.KEYFRAME_INDEX
+            k = self.n - cfg.KEYFRAME_INDEX - lag
             t0 = hs.tstamps[k - 1]
             t1 = hs.tstamps[k]
-            dP = np.asarray(lie.se3_mul(ds.poses[k],
-                                        lie.se3_inv(ds.poses[k - 1])))
+            # dP stays a device array: no host fetch on the merge path;
+            # get_pose/terminate/rescale consume it lazily
+            dP = lie.se3_mul(ds.poses[k], lie.se3_inv(ds.poses[k - 1]))
             hs.delta[int(t1)] = (int(t0), dP)
 
             e = hs.e_num
@@ -520,7 +529,7 @@ class DPVO:
                 ds.imap, ds.gmap, ds.fmap1, ds.fmap2,
                 jnp.int32(k), jnp.int32(self.n),
                 M=self.M, pmem=self.pmem, mem=self.mem,
-                shift_cap=cfg.KEYFRAME_INDEX + 2)
+                shift_cap=cfg.KEYFRAME_INDEX + 3)
 
             hs.tstamps[k:self.n - 1] = hs.tstamps[k + 1:self.n]
             self.n -= 1
@@ -528,6 +537,21 @@ class DPVO:
 
             if self.long_term_lc is not None:
                 self.long_term_lc.keyframe(k)
+
+    def keyframe(self):
+        """ref dpvo.py:266-310.  With ASYNC_KEYFRAME the motion check
+        evaluated now was launched at the previous frame (lag-1): the
+        worker thread fetched it while the device computed this frame,
+        so no blocking read happens here."""
+        cfg, hs = self.cfg, self.hs
+
+        if cfg.ASYNC_KEYFRAME:
+            if self._kf_pending is not None:
+                self._keyframe_apply(self._kf_pending.result(), lag=1)
+            self._kf_pending = self._motionmag_launch()
+        else:
+            fut = self._motionmag_launch()
+            self._keyframe_apply(fut.result() if fut is not None else 0.0)
 
         # retire edges outside the removal window (ref dpvo.py:305-310)
         e = hs.e_num

@@ -348,3 +348,34 @@ def point_cloud(poses, patches_buf, intrinsics_buf, ix):
     c = patches_buf.shape[-1] // 2
     ctr = pts[:, c, c]
     return ctr[:, :3] / jnp.maximum(ctr[:, 3:], 1e-8)
+
+
+@partial(jax.jit, static_argnames=("M",), donate_argnums=(0, 1))
+def normalize_scene(poses, patches_buf, n, M):
+    """Depth/pose rescale before global BA (ref patchgraph.py:84-91).
+
+    s = mean inverse depth over live patches; depths /= s, translations
+    *= s, and poses are re-anchored to the first frame.  The guard
+    (finite, > 0) is a where() so no host sync is needed.
+    Returns (poses', patches', s) with s a device scalar for rescaling
+    the host's delta chain.
+    """
+    K = patches_buf.shape[0]
+    live = jnp.arange(K) < n * M
+    d = patches_buf[:, 2]
+    s_raw = jnp.sum(jnp.where(live[:, None, None], d, 0.0)) \
+        / jnp.maximum(n * M * d.shape[1] * d.shape[2], 1)
+    ok = jnp.isfinite(s_raw) & (s_raw > 0)
+    s = jnp.where(ok, s_raw, 1.0)
+
+    patches_buf = jnp.where(
+        live[:, None, None, None],
+        patches_buf.at[:, 2].divide(s), patches_buf)
+
+    N = poses.shape[0]
+    live_p = jnp.arange(N) < n
+    poses_s = poses.at[:, :3].multiply(s)
+    first_inv = lie.se3_inv(poses_s[0])
+    re_anchored = lie.se3_mul(poses_s, first_inv[None])
+    poses = jnp.where(live_p[:, None], re_anchored, poses)
+    return poses, patches_buf, s

@@ -18,12 +18,11 @@ of every edge targeting that frame with on-chip dot products:
   so the kernel loads a 16-wide window at ``x0 = 8*floor(bx/8)`` and
   folds the sub-window selection (residue ``r = bx - x0``) together with
   the bilinear x-blend into a dynamically constructed (16, 7) selection
-  matrix applied on the MXU — no unaligned loads, no in-register dynamic
-  slices;
-- per edge, the 9 patch-pixel windows stack into one (9*8*16, C) matrix
-  multiplied against all 9 patch feature vectors at once (block-diagonal
-  extraction afterwards), so the hot op is a real MXU matmul instead of
-  144 scalar-loop mat-vecs.
+  matrix — no unaligned loads, no in-register dynamic slices;
+- all per-(edge, pixel) metadata lives in SMEM and is read as scalars,
+  so every vector op is a lane-aligned broadcast with no relayouts; the
+  channel dot runs on the VPU (measured faster than MXU mat-vecs at
+  these shapes, and exact in f32).
 
 HBM traffic per level drops from O(E * 64 * 9 * C) gathered rows to
 (#frames * frame_bytes + E * 9 * C).

@@ -139,3 +139,46 @@ def make_train_step(patchifier: Patchifier, update_mod: Update, tx,
             out_shardings=(TrainState(repl, repl, repl), repl),
             donate_argnums=(0,))
     return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(patchifier: Patchifier, update_mod: Update,
+                   steps=18, M=80, mesh=None):
+    """Forward-only validation rollout (ref train.py:28-131): encoders +
+    full recurrent rollout + BA, NO optimizer update.  Returns
+    eval_step(params, batch) -> (est_poses (B, S, N, 7) inverse poses
+    per rollout step, metrics)."""
+
+    def sample_eval(params, images, poses, disps, intrinsics, coords,
+                    depth_init, sch):
+        fmap, gmap, imap, patches_gt, _, _ = patchifier.apply(
+            params["patchify"], images, coords, disps=disps)
+        fmap4 = corr_ops.avg_pool2d(fmap, 4)
+        K = patches_gt.shape[0] * patches_gt.shape[1]
+        Pp = patches_gt.shape[-1]
+        patches_gt = patches_gt.reshape(K, 3, Pp, Pp)
+        gmap = gmap.reshape(K, Pp, Pp, -1)
+        imap = imap.reshape(K, -1)
+        patches_init = patches_gt.at[:, 2].set(
+            jnp.broadcast_to(depth_init[:, None, None], (K, Pp, Pp)))
+        out = R.vonet_rollout(
+            params["update"], imap, gmap, fmap, fmap4,
+            patches_init, patches_gt, poses, intrinsics,
+            sch["ii"], sch["jj"], sch["kk"], sch["active"],
+            sch["fresh"], sch["intro"],
+            update_mod=update_mod, structure_only=False,
+            steps=steps, M=M)
+        tr, ro = R.pose_loss_terms(out["poses"], poses)
+        metrics = {"flow_err": out["flow_err"][-1], "px1": out["px1"][-1],
+                   "tr": tr[-1], "ro": ro[-1]}
+        return out["poses"], metrics
+
+    def eval_step(params, batch):
+        sch = {k[4:]: batch[k] for k in batch if k.startswith("sch_")}
+        est, metrics = jax.vmap(
+            sample_eval, in_axes=(None, 0, 0, 0, 0, 0, 0, None))(
+                params, batch["images"], batch["poses"], batch["disps"],
+                batch["intrinsics"], batch["coords"], batch["depth_init"],
+                sch)
+        return est, jax.tree.map(jnp.mean, metrics)
+
+    return jax.jit(eval_step)

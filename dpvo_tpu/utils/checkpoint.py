@@ -9,6 +9,7 @@ for parity testing.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from flax.traverse_util import flatten_dict, unflatten_dict
 
@@ -147,3 +148,32 @@ def convert_state_dict(raw):
     }
     update = {"params": upd}
     return patchify, update
+
+
+# --- full training-state checkpoint (params + optimizer + step) ------------
+
+def save_train_state(path, state):
+    """Save a full TrainState (params, optimizer state, step) as npz.
+
+    The tree structure is NOT serialized — restore requires a template
+    with the same structure (tx.init of the same optimizer), which is
+    how resume works anyway.  (Reference train.py:374-378 saves params
+    only; step/optimizer resume is the SURVEY §5 bar.)
+    """
+    leaves = jax.tree_util.tree_leaves(state)
+    np.savez(path, **{f"l{i}": np.asarray(x)
+                      for i, x in enumerate(leaves)})
+
+
+def load_train_state(path, template):
+    """Restore a TrainState saved by save_train_state; ``template`` is a
+    state with identical tree structure (e.g. freshly initialized)."""
+    import jax
+    data = np.load(path)
+    leaves_t, treedef = jax.tree_util.tree_flatten(template)
+    if len(data.files) != len(leaves_t):
+        raise ValueError(
+            f"checkpoint has {len(data.files)} leaves, template has "
+            f"{len(leaves_t)} — optimizer/model structure mismatch")
+    leaves = [jnp.asarray(data[f"l{i}"]) for i in range(len(leaves_t))]
+    return jax.tree_util.tree_unflatten(treedef, leaves)

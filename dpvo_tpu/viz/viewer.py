@@ -18,6 +18,29 @@ import time
 import numpy as np
 
 
+def _frustum_segments(pose_c2w, size=0.12):
+    """Wireframe camera frustum line segments in world coords.
+
+    pose_c2w: (7,) camera-to-world xyz+quat.  Returns a list of (2, 3)
+    segments (8 frustum edges), the analog of DPViewer's per-camera
+    frustum (viewer_cuda.cu:142-199 poseToMatrix + Pangolin draw).
+    """
+    from ..ops import lie
+    import jax
+    import jax.numpy as jnp
+
+    w, h, z = size, 0.75 * size, 1.6 * size
+    corners = np.array([[w, h, z], [w, -h, z], [-w, -h, z], [-w, h, z]],
+                       np.float32)
+    pts = np.concatenate([np.zeros((1, 3), np.float32), corners])
+    world = np.asarray(jax.vmap(lie.se3_act, in_axes=(None, 0))(
+        jnp.asarray(pose_c2w), jnp.asarray(pts)))
+    apex, c = world[0], world[1:]
+    segs = [np.stack([apex, c[k]]) for k in range(4)]
+    segs += [np.stack([c[k], c[(k + 1) % 4]]) for k in range(4)]
+    return segs
+
+
 class Viewer:
     def __init__(self, slam, out_dir="viewer_out", period=2.0):
         self.slam = slam
@@ -62,11 +85,17 @@ class Viewer:
         if len(pts):
             ax.scatter(pts[:, 0], pts[:, 2], -pts[:, 1], s=0.5,
                        c=cls[:, ::-1])
-        # camera centers: inverse poses' translations
+        # camera trajectory + wireframe frusta (ref viewer_cuda.cu's
+        # poseToMatrix kernel feeding Pangolin's frustum draw, :142-199)
         from ..ops import lie
+        import jax
         import jax.numpy as jnp
-        cams = np.asarray(lie.se3_inv(jnp.asarray(poses)))[:, :3]
+        inv = np.asarray(jax.vmap(lie.se3_inv)(jnp.asarray(poses)))
+        cams = inv[:, :3]
         ax.plot(cams[:, 0], cams[:, 2], -cams[:, 1], "r-", lw=1)
+        for k in range(0, n, max(n // 12, 1)):
+            for seg in _frustum_segments(inv[k]):
+                ax.plot(seg[:, 0], seg[:, 2], -seg[:, 1], "g-", lw=0.5)
         ax.set_title(f"map (n={n}, pts={len(pts)})")
 
         ax2 = fig.add_subplot(122)

@@ -21,10 +21,11 @@ from dpvo_tpu.models.update import Update, DIM
 from dpvo_tpu.models.vonet import Patchifier, normalize_images
 from dpvo_tpu.ops import lie
 from dpvo_tpu.parallel import make_mesh, replicate, shard_batch
-from dpvo_tpu.parallel.train_step import (TrainState, make_optimizer,
-                                          make_train_step)
+from dpvo_tpu.parallel.train_step import (TrainState, make_eval_step,
+                                          make_optimizer, make_train_step)
 from dpvo_tpu.training import rollout as R
-from dpvo_tpu.utils.checkpoint import load_network, save_network
+from dpvo_tpu.utils.checkpoint import (load_network, load_train_state,
+                                       save_network, save_train_state)
 from dpvo_tpu.utils.logger import Logger
 
 
@@ -109,6 +110,12 @@ def train(config):
                         scheduler=config["scheduler"]["type"],
                         pct_start=config["scheduler"].get("pct_start", 0.01))
     state = TrainState(params, tx.init(params), jnp.int32(0))
+    # full resume: params + optimizer state + step (SURVEY §5 bar; the
+    # reference's train.py:374-378 restores params only)
+    resume = tcfg.get("resume")
+    if resume:
+        state = load_train_state(resume, state)
+        print(f"resumed from {resume} at step {int(state.step)}")
     state = replicate(mesh, state)
 
     logger = Logger(tcfg.get("name", "dpvo_tpu"))
@@ -132,12 +139,43 @@ def train(config):
                 pose_weight=pw, mesh=mesh)
         return steps_fns[structure_only]
 
-    total_steps = 0
+    total_steps = int(state.step) if resume else 0
     save_freq = tcfg.get("save_freq", 10000)
     warmup = tcfg.get("structure_warmup", 1000)
     val_cfg = config.get("validation", {})
     val_freq = val_cfg.get("freq", 10000)
     val_enabled = val_cfg.get("enabled", False)
+
+    # validation set: real samples from the held-out split (ref
+    # train.py:28-131 validates on tartan's test_split scenes)
+    val_samples = []
+    eval_step = None
+    if val_enabled:
+        try:
+            val_db = dataset_factory(
+                dcfg["names"], datapath=dcfg["roots"][0],
+                n_frames=n_frames, mode="validation",
+                fmin=dcfg.get("fmin", 16.0), fmax=dcfg.get("fmax", 60.0))
+            val_loader = make_loader(val_db, batch_size=1, num_workers=0,
+                                     prefetch=1, shuffle=False)
+            vrng = np.random.default_rng(7)
+            n_val = val_cfg.get("n_samples", 4)
+            for vb in val_loader:
+                if len(val_samples) >= n_val:
+                    break
+                vimages, vposes, vdisps, vintr = vb
+                prepared = prepare_batch(vrng, vimages, vposes, vdisps,
+                                         vintr, M, STEPS, e_cap=e_cap)
+                val_samples.append(
+                    {"_batch": {k: jnp.asarray(v)
+                                for k, v in prepared.items()},
+                     "poses": prepared["poses"][0]})
+            eval_step = make_eval_step(patchifier, update_mod,
+                                       steps=STEPS, M=M, mesh=mesh)
+            print(f"validation set: {len(val_samples)} samples")
+        except Exception as e:
+            val_enabled = False
+            print(f"validation disabled (no validation data): {e}")
 
     while total_steps < steps_total:
         for batch_np in loader:
@@ -155,28 +193,32 @@ def train(config):
             logger.push({k: float(v) for k, v in metrics.items()})
             total_steps += 1
 
-            if val_enabled and total_steps % val_freq == 0:
-                try:
-                    from dpvo_tpu.training.validate import validate
+            if val_enabled and val_samples \
+                    and total_steps % val_freq == 0:
+                from dpvo_tpu.training.validate import validate
 
-                    def run_rollout(sample):
-                        # forward-only rollout on one validation sample
-                        _, metrics = get_step(True)(state, sample)
-                        return {"poses": sample["poses"][None]}
+                def run_rollout(sample, _state=state):
+                    # forward-only rollout (NO optimizer update)
+                    est, _ = eval_step(_state.params, sample["_batch"])
+                    return {"poses": np.asarray(est[0])}   # (S, N, 7)
 
-                    # validation uses held-out samples from the loader
-                    validate(run_rollout, [], logger, total_steps)
-                except Exception as e:
-                    print(f"validation skipped: {e}")
+                stats = validate(run_rollout, val_samples, logger,
+                                 total_steps,
+                                 make_figures=val_cfg.get("figures",
+                                                          False))
+                print(f"step {total_steps} validation: {stats}")
 
             if total_steps % save_freq == 0:
                 os.makedirs("checkpoints", exist_ok=True)
-                path = (f"checkpoints/"
-                        f"{tcfg.get('name', 'dpvo_tpu')}_"
-                        f"{total_steps:06d}.npz")
+                name = tcfg.get("name", "dpvo_tpu")
+                path = f"checkpoints/{name}_{total_steps:06d}.npz"
                 save_network(path, state.params["patchify"],
                              state.params["update"])
-                print(f"saved {path}")
+                # full state for resume (optimizer + step)
+                save_train_state(
+                    f"checkpoints/{name}_{total_steps:06d}_state.npz",
+                    state)
+                print(f"saved {path} (+_state.npz)")
 
             if total_steps >= steps_total:
                 break
