@@ -33,12 +33,16 @@ class VOConfig:
     # keyframing (ref config.py:18-19)
     KEYFRAME_INDEX: int = 4
     KEYFRAME_THRESH: float = 15.0
-    # evaluate the keyframe motion check one frame late, fetched by a
-    # background thread: the steady tracking loop then makes ZERO
-    # blocking device->host reads per frame (a host fetch costs ~27ms
-    # through a remote-TPU tunnel).  False = exact reference timing
-    # (ref dpvo.py:266-268 reads motionmag synchronously).
+    # evaluate the keyframe motion check ASYNC_KEYFRAME_LAG frames late,
+    # fetched by a background thread: the steady tracking loop then makes
+    # ZERO blocking device->host reads per frame (a host fetch costs
+    # ~27ms through a remote-TPU tunnel, and the device queue runs about
+    # one frame behind the host).  The merge candidate is identified by
+    # timestamp, so interleaved merges cannot misalign it.  False = exact
+    # reference timing (ref dpvo.py:266-268 reads motionmag
+    # synchronously).
     ASYNC_KEYFRAME: bool = True
+    ASYNC_KEYFRAME_LAG: int = 2
 
     # camera motion model (ref config.py:22-23)
     MOTION_MODEL: str = "DAMPED_LINEAR"

@@ -26,8 +26,7 @@ import jax.numpy as jnp
 
 from ..config import VOConfig
 from ..models.update import Update, DIM
-from ..models.vonet import Patchifier, normalize_images, select_centroids, \
-    image_gradient
+from ..models.vonet import Patchifier
 from ..ops import lie
 from . import kernels
 from .state import DeviceState, HostState, allocate, allocate_host
@@ -45,8 +44,11 @@ class DPVO:
 
         self.is_initialized = False
         # per-phase wall timing (ref dpvo.py:329,345 Timer usage);
-        # enable, run frames, read .timing_report()
+        # enable, run frames, read .timing_report().  timing_block=False
+        # measures host dispatch time only (a device sync costs ~30ms
+        # through the remote-TPU tunnel and would distort totals).
         self.enable_timing = False
+        self.timing_block = True
         self.timings: dict[str, list] = {}
 
         # frame memory sizes (ref dpvo.py:57-61)
@@ -92,10 +94,16 @@ class DPVO:
             self.use_pallas = jax.default_backend() not in ("cpu",)
         else:
             self.use_pallas = cfg.CORR_BACKEND == "pallas"
-        # host metadata (sorts) + async keyframe fetch run in worker
-        # threads (numpy sorts and device fetches release the GIL)
+        # host metadata (sorts) runs in worker threads; the async
+        # keyframe fetch gets its OWN executor — a device fetch can park
+        # a worker for a whole frame and must never starve the sorts
         self._meta_pool = ThreadPoolExecutor(max_workers=4)
-        self._kf_pending = None
+        # single worker: concurrent fetches contend on the client lock
+        self._fetch_pool = ThreadPoolExecutor(max_workers=1)
+        self._kf_queue: list = []
+        self._pending_perm = None
+        self._last_mag = None
+        self._mm_tcand = None
 
     # --- weights -----------------------------------------------------------
 
@@ -132,14 +140,16 @@ class DPVO:
         if not self.enable_timing:
             return 0.0
         import time
-        jax.block_until_ready((self.ds.poses, self.ds.net))
+        if self.timing_block:
+            jax.block_until_ready((self.ds.poses, self.ds.net))
         return time.perf_counter()
 
     def _tock(self, t0, name):
         if not self.enable_timing:
             return
         import time
-        jax.block_until_ready((self.ds.poses, self.ds.net))
+        if self.timing_block:
+            jax.block_until_ready((self.ds.poses, self.ds.net))
         self.timings.setdefault(name, []).append(time.perf_counter() - t0)
 
     def timing_report(self):
@@ -184,6 +194,7 @@ class DPVO:
         cnt = len(kk_new)
         if cnt == 0:
             return
+        self._flush_edge_permute()
         s = self.hs.e_num
         if s + cnt > self.E_cap:
             raise RuntimeError(
@@ -193,10 +204,9 @@ class DPVO:
         self.hs.jj[s:s + cnt] = jj_new
         self.hs.ii[s:s + cnt] = kk_new // self.M
         self.hs.e_num = s + cnt
-        # zero the hidden state of the new rows
-        row = jnp.arange(self.E_cap)[:, None]
-        self.ds.net = jnp.where((row >= s) & (row < s + cnt), 0.0,
-                                self.ds.net)
+        # zero the hidden state of the new rows (one jitted dispatch)
+        self.ds.net = kernels.zero_rows(self.ds.net, jnp.int32(s),
+                                        jnp.int32(cnt))
 
     def remove_factors(self, mask, store: bool):
         """ref dpvo.py:223-238; mask over the first e_num live edges."""
@@ -225,9 +235,28 @@ class DPVO:
         self.hs.jj[:cnt] = self.hs.jj[:e][keep]
         self.hs.kk[:cnt] = self.hs.kk[:e][keep]
         self.hs.e_num = cnt
+        if self.cfg.LOOP_CLOSURE:
+            # eager: the inactive store reads device tables in the
+            # current layout
+            self.ds.net, self.ds.target, self.ds.weight = \
+                kernels.permute_edges(
+                    self.ds.net, self.ds.target, self.ds.weight,
+                    jnp.asarray(perm, jnp.int32), jnp.int32(cnt))
+        else:
+            # defer: compose consecutive removals (keyframe merge +
+            # retire) into ONE device permute per frame
+            if self._pending_perm is None:
+                self._pending_perm = perm.astype(np.int32)
+            else:
+                self._pending_perm = self._pending_perm[perm]
+
+    def _flush_edge_permute(self):
+        if self._pending_perm is None:
+            return
         self.ds.net, self.ds.target, self.ds.weight = kernels.permute_edges(
             self.ds.net, self.ds.target, self.ds.weight,
-            jnp.asarray(perm, jnp.int32), jnp.int32(cnt))
+            jnp.asarray(self._pending_perm), jnp.int32(self.hs.e_num))
+        self._pending_perm = None
 
     def __edges_forw(self):
         r = self.cfg.PATCH_LIFETIME
@@ -263,6 +292,10 @@ class DPVO:
                 jnp.asarray(self.hs.kk[:bucket]), jnp.asarray(valid))
 
     def _corr_grouping(self, bucket):
+        """Device-array view of _corr_grouping_np (tests)."""
+        return tuple(jnp.asarray(a) for a in self._corr_grouping_np(bucket))
+
+    def _corr_grouping_np(self, bucket):
         """Sort edges by fmap ring slot and pad groups to TILE multiples
         for the Pallas kernel (one frame resident in VMEM per tile)."""
         from ..ops.corr_pallas import TILE
@@ -290,47 +323,83 @@ class DPVO:
         # unused tail tiles: keep them frame-pure too (results unused)
         perm[pos:] = order[0]
         tile_frame[pos // TILE:] = int(slots[order[0]])
-        return (jnp.asarray(perm), jnp.asarray(inv),
-                jnp.asarray(tile_frame))
+        return perm, inv, tile_frame
 
     def _agg_meta(self):
         """Back-compat shim (tests): group-attention metadata only."""
-        meta, _, _ = self._update_metadata(self._edge_bucket())
+        _, meta, _, _ = self._update_metadata(self._edge_bucket())
         return meta
 
     def _update_metadata(self, bucket):
-        """All per-update host metadata (three sorts), in parallel threads
-        (numpy sorts release the GIL)."""
+        """All per-update host metadata (three sorts + corr grouping) in
+        parallel threads, packed into ONE device upload (each h2d
+        transfer is a separate RPC through the remote-TPU tunnel)."""
         from ..ops.scatter import group_meta
-        e = self.hs.e_num
-        kk_g = self.hs.kk[:bucket].astype(np.int32).copy()
+        from ..ops.graph import neighbors_host
+        from ..ops.corr_pallas import TILE
+        hs = self.hs
+        e = hs.e_num
+        kk_g = hs.kk[:bucket].astype(np.int32).copy()
         kk_g[e:] = -1
         # ii*12345+jj fits int32 (ii < 4096 frames)
-        pair = (self.hs.ii[:bucket] * np.int32(12345)
-                + self.hs.jj[:bucket])
+        pair = hs.ii[:bucket] * np.int32(12345) + hs.jj[:bucket]
         pair[e:] = -1
-        from ..ops.graph import neighbors_host
         f_kk = self._meta_pool.submit(group_meta, kk_g)
         f_ij = self._meta_pool.submit(group_meta, pair)
         f_nb = self._meta_pool.submit(neighbors_host,
-                                      self.hs.kk[:bucket],
-                                      self.hs.jj[:bucket], e)
-        corr = ((None, None, None) if not self.use_pallas
-                else self._corr_grouping(bucket))
-        meta_kk = tuple(jnp.asarray(a) for a in f_kk.result())
-        meta_ij = tuple(jnp.asarray(a) for a in f_ij.result())
-        nix, njx = f_nb.result()
-        nbrs = (jnp.asarray(nix), jnp.asarray(njx))
-        return (meta_kk, meta_ij), corr, nbrs
+                                      hs.kk[:bucket], hs.jj[:bucket], e)
+        if self.use_pallas:
+            cg = self._corr_grouping_np(bucket)
+        else:
+            cg = ()
+
+        # keyframe motionmag index arrays ride in the same upload and
+        # the mag itself is computed inside update_step (ASYNC_KEYFRAME)
+        mm_arrays, self._mm_tcand = (), None
+        if self.cfg.ASYNC_KEYFRAME:
+            i = self.n - self.cfg.KEYFRAME_INDEX - 1
+            j = self.n - self.cfg.KEYFRAME_INDEX + 1
+            a = self._motionmag_edges(i, j)
+            b = self._motionmag_edges(j, i)
+            if a[4] > 0 or b[4] > 0:
+                mm_arrays = (*a[:4], *b[:4])
+                self._mm_tcand = int(
+                    hs.tstamps[self.n - self.cfg.KEYFRAME_INDEX])
+
+        valid = (np.arange(bucket) < e).astype(np.int32)
+        arrays = [hs.ii[:bucket], hs.jj[:bucket], hs.kk[:bucket], valid]
+        arrays += list(f_kk.result()) + list(f_ij.result())
+        arrays += list(f_nb.result()) + list(cg) + list(mm_arrays)
+        blob = np.concatenate([np.ascontiguousarray(a, np.int32)
+                               for a in arrays])
+        nb = len(arrays)
+        bools = (3,) + ((nb - 5, nb - 1) if mm_arrays else ())
+        parts = kernels.split_blob(jnp.asarray(blob),
+                                   tuple(len(a) for a in arrays),
+                                   bools=bools)
+        ii_d, jj_d, kk_d, valid_d = parts[:4]
+        meta_kk = parts[4:8]
+        meta_ij = parts[8:12]
+        nbrs = parts[12:14]
+        pos = 14
+        if self.use_pallas:
+            corr = parts[pos:pos + 3]
+            pos += 3
+        else:
+            corr = (None, None, None)
+        mm = parts[pos:pos + 8] if mm_arrays else None
+        return ((ii_d, jj_d, kk_d, valid_d), (meta_kk, meta_ij),
+                corr, nbrs, mm)
 
     # --- core steps --------------------------------------------------------
 
     def update(self):
         ds, hs = self.ds, self.hs
+        self._flush_edge_permute()
         t_meta = self._tick()
         bucket = self._edge_bucket()
-        ii_d, jj_d, kk_d, valid = self._edge_device_arrays(bucket)
-        agg_meta, (corr_perm, corr_inv, tile_frame), nbrs = \
+        ((ii_d, jj_d, kk_d, valid), agg_meta,
+         (corr_perm, corr_inv, tile_frame), nbrs, mm) = \
             self._update_metadata(bucket)
         self._tock(t_meta, "update/meta")
 
@@ -343,11 +412,13 @@ class DPVO:
             # network update WITHOUT local BA, then global BA over
             # active + inactive edges (ref dpvo.py:312-326)
             (ds.net, ds.target, ds.weight, _delta, ds.poses,
-             ds.patches) = self._call_update_step(
+             ds.patches, mag) = self._call_update_step(
                 ds, ii_d, jj_d, kk_d, valid,
                 jnp.int32(0), jnp.int32(0), run_ba=False,
                 corr=(corr_perm, corr_inv, tile_frame),
-                agg_meta=agg_meta, nbrs=nbrs)
+                agg_meta=agg_meta, nbrs=nbrs, mm=mm)
+            self._last_mag = (mag, self._mm_tcand) if mm is not None \
+                else None
             self.__run_global_BA()
         else:
             t0 = self.n - self.cfg.OPTIMIZATION_WINDOW \
@@ -355,15 +426,17 @@ class DPVO:
             t0 = max(t0, 1)
             t_up = self._tick()
             (ds.net, ds.target, ds.weight, _delta, ds.poses,
-             ds.patches) = self._call_update_step(
+             ds.patches, mag) = self._call_update_step(
                 ds, ii_d, jj_d, kk_d, valid,
                 jnp.int32(t0), jnp.int32(self.n), run_ba=True,
                 corr=(corr_perm, corr_inv, tile_frame),
-                agg_meta=agg_meta, nbrs=nbrs)
+                agg_meta=agg_meta, nbrs=nbrs, mm=mm)
+            self._last_mag = (mag, self._mm_tcand) if mm is not None \
+                else None
             self._tock(t_up, "update/step")
 
     def _call_update_step(self, ds, ii_d, jj_d, kk_d, valid, t0, t1,
-                          run_ba, corr, agg_meta, nbrs):
+                          run_ba, corr, agg_meta, nbrs, mm=None):
         """Dispatch update_step on the selected corr backend, falling
         back to the XLA gather path (with a loud warning) if the Pallas
         kernel fails to compile — a kernel regression must degrade to a
@@ -377,7 +450,7 @@ class DPVO:
         kw = dict(update_mod=self.update_mod, M=self.M, pmem=self.pmem,
                   mem=self.mem, n_cap=self.n_cap, k_cap=self.k_cap,
                   iterations=2, run_ba=run_ba, agg_meta=agg_meta,
-                  nbrs=nbrs)
+                  nbrs=nbrs, mm=mm)
         if self.use_pallas:
             try:
                 return kernels.update_step(
@@ -482,34 +555,41 @@ class DPVO:
     def _motionmag_launch(self):
         """Dispatch both keyframe motionmag directions (one program) and
         hand the scalar to a worker thread to fetch — the tracking
-        thread never blocks on it."""
+        thread never blocks on it.  Returns (future, candidate
+        timestamp) or None."""
         cfg, ds = self.cfg, self.ds
         i = self.n - cfg.KEYFRAME_INDEX - 1
         j = self.n - cfg.KEYFRAME_INDEX + 1
         a = self._motionmag_edges(i, j)
         b = self._motionmag_edges(j, i)
+        tcand = int(self.hs.tstamps[self.n - cfg.KEYFRAME_INDEX])
         if a[4] == 0 and b[4] == 0:
             return None
-        mag = kernels.flowmag_two(
-            ds.poses, ds.patches, ds.intrinsics,
-            *(jnp.asarray(x) for x in a[:4]),
-            *(jnp.asarray(x) for x in b[:4]))
-        return self._meta_pool.submit(float, mag)
+        # one packed upload for all 8 index arrays
+        blob = np.concatenate([np.ascontiguousarray(x, np.int32)
+                               for x in (*a[:4], *b[:4])])
+        mag = kernels.flowmag_two_blob(ds.poses, ds.patches,
+                                       ds.intrinsics, jnp.asarray(blob),
+                                       cap=len(a[0]))
+        return self._fetch_pool.submit(float, mag), tcand
 
-    def _keyframe_apply(self, m, lag=0):
+    def _keyframe_apply(self, m, tcand):
         """Merge the candidate frame if motion is small
-        (ref dpvo.py:269-303).  ``lag`` = frames elapsed since the
-        motion check was launched, so the merge targets the frame the
-        measurement was actually about."""
+        (ref dpvo.py:269-303).  The candidate is looked up by its
+        timestamp ``tcand`` so that decisions applied with a lag (and
+        any merges in between) target the frame the measurement was
+        about."""
         cfg = self.cfg
         hs, ds = self.hs, self.ds
         if m / 2 < cfg.KEYFRAME_THRESH:
-            k = self.n - cfg.KEYFRAME_INDEX - lag
+            k = int(np.searchsorted(hs.tstamps[:self.n], tcand))
+            if k >= self.n or hs.tstamps[k] != tcand or k < 1:
+                return  # candidate already merged away
             t0 = hs.tstamps[k - 1]
             t1 = hs.tstamps[k]
             # dP stays a device array: no host fetch on the merge path;
             # get_pose/terminate/rescale consume it lazily
-            dP = lie.se3_mul(ds.poses[k], lie.se3_inv(ds.poses[k - 1]))
+            dP = kernels.relative_pose(ds.poses, jnp.int32(k))
             hs.delta[int(t1)] = (int(t0), dP)
 
             e = hs.e_num
@@ -546,14 +626,29 @@ class DPVO:
         cfg, hs = self.cfg, self.hs
 
         if cfg.ASYNC_KEYFRAME:
-            if self._kf_pending is not None:
-                self._keyframe_apply(self._kf_pending.result(), lag=1)
-            self._kf_pending = self._motionmag_launch()
+            t_l = self._tick()
+            if self._last_mag is not None:
+                mag, tcand = self._last_mag
+                self._kf_queue.append(
+                    (self._fetch_pool.submit(float, mag), tcand))
+                self._last_mag = None
+            self._tock(t_l, "keyframe/launch")
+            if len(self._kf_queue) > cfg.ASYNC_KEYFRAME_LAG:
+                fut, tcand = self._kf_queue.pop(0)
+                t_r = self._tick()
+                m = fut.result()
+                self._tock(t_r, "keyframe/result")
+                t_a = self._tick()
+                self._keyframe_apply(m, tcand)
+                self._tock(t_a, "keyframe/apply")
         else:
-            fut = self._motionmag_launch()
-            self._keyframe_apply(fut.result() if fut is not None else 0.0)
+            launched = self._motionmag_launch()
+            if launched is not None:
+                fut, tcand = launched
+                self._keyframe_apply(fut.result(), tcand)
 
         # retire edges outside the removal window (ref dpvo.py:305-310)
+        t_rt = self._tick()
         e = hs.e_num
         to_remove = (hs.kk[:e] // self.M) < self.n - cfg.REMOVAL_WINDOW
         if cfg.LOOP_CLOSURE:
@@ -561,6 +656,8 @@ class DPVO:
                 & (hs.jj[:e] > (self.n - cfg.OPTIMIZATION_WINDOW))
             to_remove = to_remove & ~lc_edges
         self.remove_factors(to_remove, store=True)
+        self._flush_edge_permute()
+        self._tock(t_rt, "keyframe/retire")
 
     def motion_probe(self):
         hs = self.hs
@@ -604,16 +701,6 @@ class DPVO:
         if self.viewer is not None:
             self.viewer.update_image(np.asarray(image))
 
-        img = normalize_images(jnp.asarray(image))
-
-        # centroid selection
-        h, w = self.ht // self.RES, self.wd // self.RES
-        grad = None
-        if cfg.CENTROID_SEL_STRAT == "GRADIENT_BIAS":
-            grad = image_gradient(img[None])
-        coords = select_centroids(self.next_rng(), cfg.CENTROID_SEL_STRAT,
-                                  1, h, w, self.M, gradient=grad)[0]
-
         # host state
         hs.tlist.append(tstamp)
         hs.tstamps[self.n] = hs.counter
@@ -624,16 +711,17 @@ class DPVO:
 
         t_tr = self._tick()
         (ds.poses, ds.patches, ds.intrinsics, ds.colors, ds.imap, ds.gmap,
-         ds.fmap1, ds.fmap2) = kernels.track_frame(
+         ds.fmap1, ds.fmap2) = kernels.track_frame_u8(
             self.params_patchify, self.patchifier,
             ds.poses, ds.patches, ds.intrinsics, ds.colors,
             ds.imap, ds.gmap, ds.fmap1, ds.fmap2,
-            img, coords,
+            jnp.asarray(image),
             jnp.asarray(intrinsics, jnp.float32) / self.RES,
             jnp.int32(self.n), jnp.float32(fac),
             jnp.asarray(self.is_initialized), self.next_rng(),
             M=self.M, pmem=self.pmem, mem=self.mem,
-            motion_damping=float(cfg.MOTION_DAMPING))
+            motion_damping=float(cfg.MOTION_DAMPING),
+            strat=cfg.CENTROID_SEL_STRAT)
         self._tock(t_tr, "track_frame")
 
         hs.counter += 1

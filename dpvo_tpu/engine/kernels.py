@@ -129,6 +129,33 @@ def track_frame(params, patchifier: Patchifier,
                        motion_damping=motion_damping)
 
 
+@partial(jax.jit,
+         static_argnames=("patchifier", "M", "pmem", "mem",
+                          "motion_damping", "strat"),
+         donate_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
+def track_frame_u8(params, patchifier: Patchifier,
+                   poses, patches_buf, intrinsics_buf, colors_buf,
+                   imap_buf, gmap_buf, fmap1_buf, fmap2_buf,
+                   image_u8, intrinsics, n, fac, is_initialized, rng,
+                   M, pmem, mem, motion_damping, strat="RANDOM"):
+    """Whole per-frame device pipeline in ONE dispatch: uint8 image
+    normalization (ref dpvo.py:389), centroid selection (net.py:115-132),
+    Patchifier forward, and all state writes."""
+    from ..models.vonet import (image_gradient, normalize_images,
+                                select_centroids)
+    img = normalize_images(image_u8)
+    h, w = img.shape[0] // 4, img.shape[1] // 4
+    k_sel, k_depth = jax.random.split(rng)
+    grad = image_gradient(img[None]) if strat == "GRADIENT_BIAS" else None
+    coords = select_centroids(k_sel, strat, 1, h, w, M, gradient=grad)[0]
+    return track_frame(params, patchifier,
+                       poses, patches_buf, intrinsics_buf, colors_buf,
+                       imap_buf, gmap_buf, fmap1_buf, fmap2_buf,
+                       img, coords, intrinsics, n, fac, is_initialized,
+                       k_depth, M=M, pmem=pmem, mem=mem,
+                       motion_damping=motion_damping)
+
+
 # ---------------------------------------------------------------------------
 # the hot loop: one optimization update
 # ---------------------------------------------------------------------------
@@ -174,7 +201,7 @@ def update_step(params, poses, patches_buf, intrinsics_buf,
                 update_mod: Update, M, pmem, mem, n_cap, k_cap,
                 iterations=2, run_ba=True, use_pallas=False,
                 corr_perm=None, corr_inv=None, tile_frame=None,
-                agg_meta=None, nbrs=None):
+                agg_meta=None, nbrs=None, mm=None):
     """Reproject -> correlate -> recurrent update -> bundle adjust
     (ref dpvo.py:328-356).
 
@@ -230,7 +257,15 @@ def update_step(params, poses, patches_buf, intrinsics_buf,
         target_tab, target.astype(target_tab.dtype), (0, 0))
     weight_tab = jax.lax.dynamic_update_slice(
         weight_tab, weight.astype(weight_tab.dtype), (0, 0))
-    return net_tab, target_tab, weight_tab, delta, poses, patches_buf
+
+    # keyframe motionmag folded into the same program (post-BA poses,
+    # ref dpvo.py:268): one dispatch per frame instead of two
+    mag = None
+    if mm is not None:
+        mag = flowmag_two(poses, patches_buf, intrinsics_buf,
+                          mm[0], mm[1], mm[2], mm[3],
+                          mm[4], mm[5], mm[6], mm[7])
+    return net_tab, target_tab, weight_tab, delta, poses, patches_buf, mag
 
 
 @partial(jax.jit, static_argnames=("update_mod", "M", "pmem", "mem"))
@@ -379,3 +414,48 @@ def normalize_scene(poses, patches_buf, n, M):
     re_anchored = lie.se3_mul(poses_s, first_inv[None])
     poses = jnp.where(live_p[:, None], re_anchored, poses)
     return poses, patches_buf, s
+
+
+@jax.jit
+def relative_pose(poses, k):
+    """dP = poses[k] * poses[k-1]^-1 with dynamic k (one cached program
+    for the keyframe-merge delta, ref dpvo.py:277)."""
+    k = jnp.asarray(k, jnp.int32)
+    return lie.se3_mul(poses[k], lie.se3_inv(poses[jnp.maximum(k - 1, 0)]))
+
+
+@partial(jax.jit, static_argnames=("sizes", "bools"))
+def split_blob(blob, sizes, bools=()):
+    """Split one packed int32 upload into per-array device slices.
+
+    Through a remote-TPU tunnel each host->device transfer is a separate
+    RPC; packing the ~20 per-update metadata arrays into one blob makes
+    the update's host cost one upload + one dispatch.  ``bools`` lists
+    indices to cast to bool.
+    """
+    outs = []
+    off = 0
+    for i, s in enumerate(sizes):
+        a = jax.lax.dynamic_slice(blob, (off,), (s,))
+        if i in bools:
+            a = a.astype(bool)
+        outs.append(a)
+        off += s
+    return tuple(outs)
+
+
+@jax.jit
+def zero_rows(net, s, cnt):
+    """Zero rows [s, s+cnt) of the edge hidden-state table (fresh edges
+    start from zero, ref dpvo.py:220-221); dynamic bounds, one program."""
+    row = jnp.arange(net.shape[0])[:, None]
+    return jnp.where((row >= s) & (row < s + cnt), 0.0, net)
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def flowmag_two_blob(poses, patches_buf, intrinsics_buf, blob, cap):
+    """flowmag_two with both directions' (ii, jj, kk, valid) packed into
+    one (8*cap,) int32 upload."""
+    p = split_blob(blob, (cap,) * 8, bools=(3, 7))
+    return flowmag_two(poses, patches_buf, intrinsics_buf,
+                       p[0], p[1], p[2], p[3], p[4], p[5], p[6], p[7])

@@ -77,8 +77,8 @@ for name, fn in [("track_frame", run_track)]:
 
 # 2. update_step (both backends)
 bucket = slam._edge_bucket()
-ii_d, jj_d, kk_d, valid = slam._edge_device_arrays(bucket)
-agg_meta, corr_meta, nbrs = slam._update_metadata(bucket)
+((ii_d, jj_d, kk_d, valid), agg_meta, corr_meta, nbrs,
+ _mm) = slam._update_metadata(bucket)
 t0v, t1v = jnp.int32(max(slam.n - cfg.OPTIMIZATION_WINDOW, 1)), \
     jnp.int32(slam.n)
 
@@ -94,7 +94,7 @@ for use_pallas in (True, False):
         ds.imap, ds.gmap, ds.fmap1, ds.fmap2,
         ds.net, ds.target, ds.weight, ii_d, jj_d, kk_d, valid,
         t0v, t1v, **kw)
-    (ds.net, ds.target, ds.weight, _d, ds.poses, ds.patches) = outs
+    (ds.net, ds.target, ds.weight, _d, ds.poses, ds.patches, _m) = outs
     ts = []
     for _ in range(10):
         t0 = time.perf_counter()
@@ -104,7 +104,7 @@ for use_pallas in (True, False):
             ds.net, ds.target, ds.weight, ii_d, jj_d, kk_d, valid,
             t0v, t1v, **kw)
         jax.block_until_ready(outs)
-        (ds.net, ds.target, ds.weight, _d, ds.poses, ds.patches) = outs
+        (ds.net, ds.target, ds.weight, _d, ds.poses, ds.patches, _m) = outs
         ts.append(time.perf_counter() - t0)
     p(f"update_step(pallas={use_pallas}) bucket={bucket}: "
       f"{1e3*np.median(ts):.1f}ms")
@@ -116,7 +116,7 @@ outs = kernels.update_step(
     ds.imap, ds.gmap, ds.fmap1, ds.fmap2,
     ds.net, ds.target, ds.weight, ii_d, jj_d, kk_d, valid,
     t0v, t1v, **kw)
-(ds.net, ds.target, ds.weight, _d, ds.poses, ds.patches) = outs
+(ds.net, ds.target, ds.weight, _d, ds.poses, ds.patches, _m) = outs
 ts = []
 for _ in range(10):
     t0 = time.perf_counter()
@@ -126,7 +126,7 @@ for _ in range(10):
         ds.net, ds.target, ds.weight, ii_d, jj_d, kk_d, valid,
         t0v, t1v, **kw)
     jax.block_until_ready(outs)
-    (ds.net, ds.target, ds.weight, _d, ds.poses, ds.patches) = outs
+    (ds.net, ds.target, ds.weight, _d, ds.poses, ds.patches, _m) = outs
     ts.append(time.perf_counter() - t0)
 p(f"update_step(no BA, xla corr): {1e3*np.median(ts):.1f}ms")
 
