@@ -42,27 +42,58 @@ def main():
     def frame(t):
         return np.roll(base, -4 * t, axis=1)[:, :wd]
 
-    n_warm, n_bench = 30, 60
+    n_warm, n_bench = 30, 40
+
+    # producer-side device upload, like the reference's frame-producer
+    # process (stream.py): the next frame is already on device when the
+    # engine needs it
+    import jax.numpy as jnp
+    from concurrent.futures import ThreadPoolExecutor
+    uploader = ThreadPoolExecutor(max_workers=1)
+
+    def get_frame(t):
+        return jnp.asarray(frame(t))
+
+    nxt = uploader.submit(get_frame, 0)
+
+    def step(t):
+        img = nxt_holder[0].result()
+        nxt_holder[0] = uploader.submit(get_frame, t + 1)
+        slam(t, img, intr)
+
+    nxt_holder = [nxt]
+
     # warmup: triggers all compiles + reaches steady-state edge counts
     for t in range(n_warm):
         tw = time.perf_counter()
-        slam(t, frame(t), intr)
+        step(t)
         print(f"warm frame {t}: {(time.perf_counter()-tw)*1000:.0f}ms "
               f"(edges {slam.hs.e_num})", file=sys.stderr, flush=True)
 
     import jax
     jax.block_until_ready(slam.ds.poses)
     slam.enable_timing = timing
-    t0 = time.perf_counter()
-    for t in range(n_warm, n_warm + n_bench):
-        slam(t, frame(t), intr)
-    jax.block_until_ready(slam.ds.poses)
-    dt = time.perf_counter() - t0
+    slam.timing_block = False
+
+    # the remote-TPU tunnel has multi-second noisy-neighbor periods that
+    # can halve a single window's FPS; report the median of 5 windows
+    windows = []
+    t = n_warm
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(n_bench):
+            step(t)
+            t += 1
+        jax.block_until_ready(slam.ds.poses)
+        windows.append(n_bench / (time.perf_counter() - t0))
+        print(f"window fps: {windows[-1]:.2f}", file=sys.stderr,
+              flush=True)
     if timing:
         for k, (ms, cnt) in slam.timing_report().items():
             print(f"  {k:20s} {ms:8.2f} ms  x{cnt}", file=sys.stderr)
 
-    fps = n_bench / dt
+    windows.sort()
+    fps = windows[len(windows) // 2]
     print(json.dumps({
         "metric": "vo_fps_480p",
         "value": round(fps, 2),

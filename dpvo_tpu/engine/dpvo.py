@@ -101,6 +101,7 @@ class DPVO:
         # single worker: concurrent fetches contend on the client lock
         self._fetch_pool = ThreadPoolExecutor(max_workers=1)
         self._kf_queue: list = []
+        self._kf_fetch = None
         self._pending_perm = None
         self._last_mag = None
         self._mm_tcand = None
@@ -205,8 +206,8 @@ class DPVO:
         self.hs.ii[s:s + cnt] = kk_new // self.M
         self.hs.e_num = s + cnt
         # zero the hidden state of the new rows (one jitted dispatch)
-        self.ds.net = kernels.zero_rows(self.ds.net, jnp.int32(s),
-                                        jnp.int32(cnt))
+        self.ds.net = kernels.zero_rows(self.ds.net, np.int32(s),
+                                        np.int32(cnt))
 
     def remove_factors(self, mask, store: bool):
         """ref dpvo.py:223-238; mask over the first e_num live edges."""
@@ -255,7 +256,7 @@ class DPVO:
             return
         self.ds.net, self.ds.target, self.ds.weight = kernels.permute_edges(
             self.ds.net, self.ds.target, self.ds.weight,
-            jnp.asarray(self._pending_perm), jnp.int32(self.hs.e_num))
+            self._pending_perm, np.int32(self.hs.e_num))
         self._pending_perm = None
 
     def __edges_forw(self):
@@ -277,11 +278,14 @@ class DPVO:
         return kk, jj
 
     def _edge_bucket(self):
-        """Power-of-two bucket of the live edge count: per-update compute
-        scales with live edges, not EDGE_CAPACITY (a handful of compiled
-        bucket sizes instead of one giant program)."""
+        """Bucket the live edge count to {1, 1.5} * 2^k (a handful of
+        compiled bucket sizes instead of one giant program; the 1.5 step
+        keeps padding waste under 33%)."""
         e = max(self.hs.e_num, 1024)
-        return min(1 << math.ceil(math.log2(e)), self.E_cap)
+        p2 = 1 << math.ceil(math.log2(e))
+        if 3 * (p2 // 4) >= e and (3 * (p2 // 4)) % 1024 == 0:
+            p2 = 3 * (p2 // 4)
+        return min(p2, self.E_cap)
 
     def _edge_device_arrays(self, bucket):
         e = self.hs.e_num
@@ -374,7 +378,7 @@ class DPVO:
                                for a in arrays])
         nb = len(arrays)
         bools = (3,) + ((nb - 5, nb - 1) if mm_arrays else ())
-        parts = kernels.split_blob(jnp.asarray(blob),
+        parts = kernels.split_blob(blob,
                                    tuple(len(a) for a in arrays),
                                    bools=bools)
         ii_d, jj_d, kk_d, valid_d = parts[:4]
@@ -414,7 +418,7 @@ class DPVO:
             (ds.net, ds.target, ds.weight, _delta, ds.poses,
              ds.patches, mag) = self._call_update_step(
                 ds, ii_d, jj_d, kk_d, valid,
-                jnp.int32(0), jnp.int32(0), run_ba=False,
+                np.int32(0), np.int32(0), run_ba=False,
                 corr=(corr_perm, corr_inv, tile_frame),
                 agg_meta=agg_meta, nbrs=nbrs, mm=mm)
             self._last_mag = (mag, self._mm_tcand) if mm is not None \
@@ -428,7 +432,7 @@ class DPVO:
             (ds.net, ds.target, ds.weight, _delta, ds.poses,
              ds.patches, mag) = self._call_update_step(
                 ds, ii_d, jj_d, kk_d, valid,
-                jnp.int32(t0), jnp.int32(self.n), run_ba=True,
+                np.int32(t0), np.int32(self.n), run_ba=True,
                 corr=(corr_perm, corr_inv, tile_frame),
                 agg_meta=agg_meta, nbrs=nbrs, mm=mm)
             self._last_mag = (mag, self._mm_tcand) if mm is not None \
@@ -515,7 +519,7 @@ class DPVO:
         a host sync costs ~27ms through a remote-TPU tunnel."""
         ds, hs = self.ds, self.hs
         ds.poses, ds.patches, s = kernels.normalize_scene(
-            ds.poses, ds.patches, jnp.int32(self.n), M=self.M)
+            ds.poses, ds.patches, np.int32(self.n), M=self.M)
         for t, (t0, dP) in hs.delta.items():
             hs.delta[t] = (t0, lie.se3_scale(jnp.asarray(dP), s))
 
@@ -569,7 +573,7 @@ class DPVO:
         blob = np.concatenate([np.ascontiguousarray(x, np.int32)
                                for x in (*a[:4], *b[:4])])
         mag = kernels.flowmag_two_blob(ds.poses, ds.patches,
-                                       ds.intrinsics, jnp.asarray(blob),
+                                       ds.intrinsics, blob,
                                        cap=len(a[0]))
         return self._fetch_pool.submit(float, mag), tcand
 
@@ -589,7 +593,7 @@ class DPVO:
             t1 = hs.tstamps[k]
             # dP stays a device array: no host fetch on the merge path;
             # get_pose/terminate/rescale consume it lazily
-            dP = kernels.relative_pose(ds.poses, jnp.int32(k))
+            dP = kernels.relative_pose(ds.poses, np.int32(k))
             hs.delta[int(t1)] = (int(t0), dP)
 
             e = hs.e_num
@@ -607,7 +611,7 @@ class DPVO:
              ds.gmap, ds.fmap1, ds.fmap2) = kernels.compact_frames(
                 ds.poses, ds.patches, ds.intrinsics, ds.colors,
                 ds.imap, ds.gmap, ds.fmap1, ds.fmap2,
-                jnp.int32(k), jnp.int32(self.n),
+                np.int32(k), np.int32(self.n),
                 M=self.M, pmem=self.pmem, mem=self.mem,
                 shift_cap=cfg.KEYFRAME_INDEX + 3)
 
@@ -715,10 +719,11 @@ class DPVO:
             self.params_patchify, self.patchifier,
             ds.poses, ds.patches, ds.intrinsics, ds.colors,
             ds.imap, ds.gmap, ds.fmap1, ds.fmap2,
-            jnp.asarray(image),
-            jnp.asarray(intrinsics, jnp.float32) / self.RES,
-            jnp.int32(self.n), jnp.float32(fac),
-            jnp.asarray(self.is_initialized), self.next_rng(),
+            image if isinstance(image, jax.Array)
+            else np.ascontiguousarray(image, np.uint8),
+            np.asarray(intrinsics, np.float32) / self.RES,
+            np.int32(self.n), np.float32(fac),
+            np.bool_(self.is_initialized), self.next_rng(),
             M=self.M, pmem=self.pmem, mem=self.mem,
             motion_damping=float(cfg.MOTION_DAMPING),
             strat=cfg.CENTROID_SEL_STRAT)

@@ -459,3 +459,4 @@ def flowmag_two_blob(poses, patches_buf, intrinsics_buf, blob, cap):
     p = split_blob(blob, (cap,) * 8, bools=(3, 7))
     return flowmag_two(poses, patches_buf, intrinsics_buf,
                        p[0], p[1], p[2], p[3], p[4], p[5], p[6], p[7])
+
