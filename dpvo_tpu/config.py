@@ -42,7 +42,7 @@ class VOConfig:
     # reference timing (ref dpvo.py:266-268 reads motionmag
     # synchronously).
     ASYNC_KEYFRAME: bool = True
-    ASYNC_KEYFRAME_LAG: int = 2
+    ASYNC_KEYFRAME_LAG: int = 3
 
     # camera motion model (ref config.py:22-23)
     MOTION_MODEL: str = "DAMPED_LINEAR"

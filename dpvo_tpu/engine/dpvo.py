@@ -287,14 +287,6 @@ class DPVO:
             p2 = 3 * (p2 // 4)
         return min(p2, self.E_cap)
 
-    def _edge_device_arrays(self, bucket):
-        e = self.hs.e_num
-        valid = np.zeros((bucket,), bool)
-        valid[:e] = True
-        return (jnp.asarray(self.hs.ii[:bucket]),
-                jnp.asarray(self.hs.jj[:bucket]),
-                jnp.asarray(self.hs.kk[:bucket]), jnp.asarray(valid))
-
     def _corr_grouping(self, bucket):
         """Device-array view of _corr_grouping_np (tests)."""
         return tuple(jnp.asarray(a) for a in self._corr_grouping_np(bucket))
