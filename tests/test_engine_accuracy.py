@@ -75,7 +75,7 @@ class OracleDPVO(DPVO):
         return jnp.asarray(poses_gt_buf), jnp.asarray(patches_gt)
 
     def _call_update_step(self, ds, ii_d, jj_d, kk_d, valid, t0, t1,
-                          run_ba, corr, agg_meta, nbrs):
+                          run_ba, corr, agg_meta, nbrs, mm=None):
         from dpvo_tpu.ops import ba as ba_ops
         gt_poses_buf, gt_patches = self._gt_buffers()
         ii_s = jnp.where(valid, ii_d, 0)
@@ -96,8 +96,11 @@ class OracleDPVO(DPVO):
         net_tab = ds.net
         target_tab = ds.target.at[:E].set(target)
         weight_tab = ds.weight.at[:E].set(weight)
+        mag = None
+        if mm is not None:
+            mag = kernels.flowmag_two(poses, patches, ds.intrinsics, *mm)
         return (net_tab, target_tab, weight_tab,
-                jnp.zeros((E, 2)), poses, patches)
+                jnp.zeros((E, 2)), poses, patches, mag)
 
     def __call__(self, t, image, intrinsics):
         super().__call__(t, image, intrinsics)
