@@ -214,20 +214,33 @@ class DPVO:
         e = self.hs.e_num
         mask = np.asarray(mask, bool)
         # the inactive store only feeds global BA (ref dpvo.py:320-326);
-        # without LOOP_CLOSURE it is never read, and fetching
-        # target/weight here costs a full device sync per frame
+        # without LOOP_CLOSURE it is never read.  Indices append on the
+        # host; target/weight rows copy device->device (no fetch).
         store = store and self.cfg.LOOP_CLOSURE
         if store and mask.any():
-            tgt = np.asarray(self.ds.target[:e][mask])
-            wgt = np.asarray(self.ds.weight[:e][mask])
+            idx = np.nonzero(mask)[0].astype(np.int32)
+            cnt_s = len(idx)
+            dest = self.hs.n_inac
+            cap_i = self.ds.target_inac.shape[0]
+            chunk = 1 << max(int(np.ceil(np.log2(cnt_s))), 5)
+            if dest + chunk > cap_i:
+                raise RuntimeError(
+                    f"inactive edge store overflow: {dest}+{chunk} > "
+                    f"{cap_i}; increase EDGE_CAPACITY_INAC")
+            idx_p = np.zeros(chunk, np.int32)
+            idx_p[:cnt_s] = idx
+            self.ds.target_inac, self.ds.weight_inac = \
+                kernels.store_inactive(
+                    self.ds.target, self.ds.weight,
+                    self.ds.target_inac, self.ds.weight_inac,
+                    idx_p, np.int32(dest), chunk=chunk)
             self.hs.ii_inac = np.concatenate([self.hs.ii_inac,
                                               self.hs.ii[:e][mask]])
             self.hs.jj_inac = np.concatenate([self.hs.jj_inac,
                                               self.hs.jj[:e][mask]])
             self.hs.kk_inac = np.concatenate([self.hs.kk_inac,
                                               self.hs.kk[:e][mask]])
-            self.hs.target_inac = np.concatenate([self.hs.target_inac, tgt])
-            self.hs.weight_inac = np.concatenate([self.hs.weight_inac, wgt])
+            self.hs.n_inac = dest + cnt_s
         keep = np.nonzero(~mask)[0]
         cnt = len(keep)
         perm = np.concatenate([keep, np.arange(e, self.E_cap),
@@ -464,13 +477,10 @@ class DPVO:
         from ..ops import ba as ba_ops
         hs, ds = self.hs, self.ds
         e = hs.e_num
+        n_inac = hs.n_inac
         ii = np.concatenate([hs.ii_inac, hs.ii[:e]])
         jj = np.concatenate([hs.jj_inac, hs.jj[:e]])
         kk = np.concatenate([hs.kk_inac, hs.kk[:e]])
-        target = np.concatenate([np.asarray(hs.target_inac),
-                                 np.asarray(ds.target[:e])])
-        weight = np.concatenate([np.asarray(hs.weight_inac),
-                                 np.asarray(ds.weight[:e])])
 
         self.normalize()
 
@@ -481,9 +491,11 @@ class DPVO:
         ii_p = np.concatenate([ii, np.zeros(pad, np.int32)])
         jj_p = np.concatenate([jj, np.zeros(pad, np.int32)])
         kk_p = np.concatenate([kk, np.zeros(pad, np.int32)])
-        t_p = np.concatenate([target, np.zeros((pad, 2), np.float32)])
-        w_p = np.concatenate([weight, np.zeros((pad, 2), np.float32)])
         v_p = np.arange(cap) < E
+        # target/weight concatenate on device (no host round-trip)
+        t_p, w_p = kernels.concat_edge_tw(
+            ds.target_inac, ds.weight_inac, ds.target, ds.weight,
+            np.int32(n_inac), np.int32(e), cap=cap)
 
         t0 = int(hs.ii[:e].min()) if e else 1
         n_cap = 1 << math.ceil(math.log2(max(self.n - t0 + 1, 16)))
@@ -497,9 +509,8 @@ class DPVO:
                  else ba_ops.ba_iterative)
         ds.poses, ds.patches = ba_fn(
             ds.poses, ds.patches, ds.intrinsics[0],
-            jnp.asarray(t_p), jnp.asarray(w_p), jnp.float32(1e-4),
-            jnp.asarray(ii_p), jnp.asarray(jj_p), jnp.asarray(kk_p),
-            jnp.asarray(v_p), jnp.int32(t0), jnp.int32(self.n),
+            t_p, w_p, np.float32(1e-4),
+            ii_p, jj_p, kk_p, v_p, np.int32(t0), np.int32(self.n),
             n_cap=n_cap, k_cap=k_cap, iterations=2)
         self.ran_global_ba[self.n] = True
 

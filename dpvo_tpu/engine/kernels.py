@@ -460,3 +460,33 @@ def flowmag_two_blob(poses, patches_buf, intrinsics_buf, blob, cap):
     return flowmag_two(poses, patches_buf, intrinsics_buf,
                        p[0], p[1], p[2], p[3], p[4], p[5], p[6], p[7])
 
+
+
+@partial(jax.jit, static_argnames=("chunk",), donate_argnums=(2, 3))
+def store_inactive(target_tab, weight_tab, t_inac, w_inac, idx, dest,
+                   chunk):
+    """Copy retired edges' target/weight rows into the device-side
+    inactive store (ref dpvo.py:228-236 keeps them for global BA).
+    ``idx`` (chunk,) gathers rows (pad entries may write garbage past
+    the live region; the next append overwrites it)."""
+    t_inac = jax.lax.dynamic_update_slice(t_inac, target_tab[idx],
+                                          (dest, 0))
+    w_inac = jax.lax.dynamic_update_slice(w_inac, weight_tab[idx],
+                                          (dest, 0))
+    return t_inac, w_inac
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def concat_edge_tw(t_inac, w_inac, target_tab, weight_tab, n_inac, e,
+                   cap):
+    """Inactive + active target/weight rows concatenated on device (no
+    host round-trip) and zero-padded to the static global-BA bucket."""
+    i = jnp.arange(cap)
+    from_inac = i < n_inac
+    live = i < (n_inac + e)
+    idx_i = jnp.clip(i, 0, t_inac.shape[0] - 1)
+    idx_a = jnp.clip(i - n_inac, 0, target_tab.shape[0] - 1)
+    t = jnp.where(from_inac[:, None], t_inac[idx_i], target_tab[idx_a])
+    w = jnp.where(from_inac[:, None], w_inac[idx_i], weight_tab[idx_a])
+    return (jnp.where(live[:, None], t, 0.0),
+            jnp.where(live[:, None], w, 0.0))

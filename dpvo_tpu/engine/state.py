@@ -10,9 +10,9 @@ shapes, so here ALL device arrays are allocated once at capacity:
   appended into free slots and compacted with gather permutations computed
   on the host, which owns the ii/jj/kk bookkeeping).
 
-The inactive edge store (replayed by global BA, ref dpvo.py:305-325) lives
-on the host as numpy — it is touched once per global optimization, not per
-frame.
+The inactive edge store (replayed by global BA, ref dpvo.py:305-325) keeps
+its indices on the host (host-owned bookkeeping) and its target/weight
+rows on device, so retiring edges never blocks on a device fetch.
 """
 from __future__ import annotations
 
@@ -44,6 +44,9 @@ class DeviceState:
     target: Any       # (E_cap, 2) f32
     weight: Any       # (E_cap, 2) f32
 
+    target_inac: Any  # (E_inac, 2) f32 — retired edges (global BA)
+    weight_inac: Any  # (E_inac, 2) f32
+
 
 @dataclass
 class HostState:
@@ -60,12 +63,14 @@ class HostState:
     kk: np.ndarray | None = None
     e_num: int = 0
 
-    # inactive edge store for global BA (host numpy, grown dynamically)
+    # inactive edge store for global BA: indices live on the host
+    # (they are host-owned bookkeeping anyway); target/weight rows stay
+    # ON DEVICE (DeviceState.target_inac/weight_inac) so retiring edges
+    # never fetches — n_inac counts the filled rows
     ii_inac: np.ndarray | None = None
     jj_inac: np.ndarray | None = None
     kk_inac: np.ndarray | None = None
-    target_inac: np.ndarray | None = None
-    weight_inac: np.ndarray | None = None
+    n_inac: int = 0
 
     # relative poses of removed frames: {t1: (t0, dP 7-vec np)}
     delta: dict = field(default_factory=dict)
@@ -99,6 +104,8 @@ def allocate(cfg: VOConfig, ht: int, wd: int, P: int = 3,
         net=jnp.zeros((E, DIM), jnp.float32),
         target=jnp.zeros((E, 2), jnp.float32),
         weight=jnp.zeros((E, 2), jnp.float32),
+        target_inac=jnp.zeros((cfg.EDGE_CAPACITY_INAC, 2), jnp.float32),
+        weight_inac=jnp.zeros((cfg.EDGE_CAPACITY_INAC, 2), jnp.float32),
     )
 
 
@@ -113,6 +120,5 @@ def allocate_host(cfg: VOConfig) -> HostState:
     hs.ii_inac = np.zeros((0,), np.int32)
     hs.jj_inac = np.zeros((0,), np.int32)
     hs.kk_inac = np.zeros((0,), np.int32)
-    hs.target_inac = np.zeros((0, 2), np.float32)
-    hs.weight_inac = np.zeros((0, 2), np.float32)
+
     return hs

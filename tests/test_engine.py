@@ -111,3 +111,26 @@ def test_non_keyframed_frames_parked():
     assert len(slam.hs.delta) == 2
     poses, _ = slam.terminate()
     assert poses.shape == (10, 7)
+
+
+def test_loop_closure_global_ba_path():
+    """LOOP_CLOSURE mode: retired edges land in the DEVICE-side inactive
+    store (no per-frame fetch) and the periodic global BA replays
+    inactive + active edges without corrupting state
+    (ref dpvo.py:305-326)."""
+    cfg = TINY.replace(LOOP_CLOSURE=True, GLOBAL_OPT_FREQ=3,
+                       BACKEND_THRESH=1e9, MAX_EDGE_AGE=24)
+    slam = DPVO(cfg, network=None, ht=HT, wd=WD)
+    slam.motion_probe = lambda: 100.0
+    for t, img, intr in synthetic_stream(16):
+        slam(t, img, intr)
+    # edges were retired into the inactive store...
+    assert slam.hs.n_inac > 0
+    assert len(slam.hs.ii_inac) == slam.hs.n_inac
+    # ...their device rows are real numbers
+    rows = np.asarray(slam.ds.target_inac[:slam.hs.n_inac])
+    assert np.isfinite(rows).all()
+    # global BA ran at least once and state stayed finite
+    assert slam.ran_global_ba[:slam.n + 1].any()
+    poses, _ = slam.terminate()
+    assert np.isfinite(poses).all()
