@@ -124,5 +124,29 @@ class Viewer:
         self._thread.join(timeout=5.0)
         try:
             self._render()
+            self._export_html()
         except Exception:
             pass
+
+    def _export_html(self):
+        """Interactive 3D map (stand-in for DPViewer's Pangolin window
+        on headless TPU VMs): drag-to-orbit HTML with points, trajectory
+        and frusta embedded."""
+        import jax
+        import jax.numpy as jnp
+        from ..ops import lie
+        from .html_map import export_html
+
+        slam = self.slam
+        n, m = slam.n, slam.m
+        if n < 2:
+            return
+        pts = np.asarray(slam.points[:m])
+        cols = np.asarray(slam.ds.colors[:n]).reshape(-1, 3)[:m][:, ::-1]
+        inv = np.asarray(jax.vmap(lie.se3_inv)(
+            jnp.asarray(slam.ds.poses[:n])))
+        segs = []
+        for k in range(0, n, max(n // 24, 1)):
+            segs += _frustum_segments(inv[k])
+        export_html(os.path.join(self.out_dir, "map.html"),
+                    pts, cols, inv[:, :3], segs)

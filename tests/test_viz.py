@@ -56,3 +56,20 @@ def test_frustum_segments_shape():
     for s in segs:
         assert s.shape == (2, 3)
         assert np.isfinite(s).all()
+
+
+def test_export_html(tmp_path):
+    from dpvo_tpu.viz.html_map import export_html
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(500, 3)).astype(np.float32)
+    cols = rng.integers(0, 255, (500, 3)).astype(np.uint8)
+    cams = rng.normal(size=(10, 3)).astype(np.float32)
+    segs = [np.zeros((2, 3), np.float32)] * 4
+    path = export_html(str(tmp_path / "map.html"), pts, cols, cams, segs)
+    html = open(path).read()
+    assert "dpvo_tpu map" in html and "PTS" in html
+    assert html.count("[") >= 3  # embedded arrays
+    # NaN points must be dropped, not serialized
+    pts[0] = np.nan
+    export_html(str(tmp_path / "m2.html"), pts, cols, cams, segs)
+    assert "NaN" not in open(str(tmp_path / "m2.html")).read()
