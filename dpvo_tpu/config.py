@@ -10,7 +10,7 @@ CLI pairs merge into it, preserving the reference's override UX
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any
 
 

@@ -29,7 +29,7 @@ from ..models.update import Update, DIM
 from ..models.vonet import Patchifier
 from ..ops import lie
 from . import kernels
-from .state import DeviceState, HostState, allocate, allocate_host
+from .state import allocate, allocate_host
 
 
 class DPVO:

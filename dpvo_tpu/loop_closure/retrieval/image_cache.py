@@ -8,7 +8,6 @@ every frame in RAM.  Keyframe-index remapping mirrors the engine's.
 from __future__ import annotations
 
 import multiprocessing as mp
-import os
 import os.path as osp
 import shutil
 import tempfile

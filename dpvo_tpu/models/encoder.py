@@ -10,7 +10,6 @@ computed in fp32.
 """
 from __future__ import annotations
 
-from typing import Optional
 
 import jax.numpy as jnp
 import flax.linen as nn

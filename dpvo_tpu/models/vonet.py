@@ -8,7 +8,6 @@ scan-friendly function rather than a stateful module method.
 """
 from __future__ import annotations
 
-from typing import Any
 
 import jax
 import jax.numpy as jnp

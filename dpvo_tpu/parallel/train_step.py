@@ -9,7 +9,6 @@ single-GPU only, SURVEY.md §2.2).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, NamedTuple
 
 import jax
@@ -19,7 +18,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..models.vonet import Patchifier
 from ..models.update import Update
-from ..ops import lie, corr as corr_ops
+from ..ops import corr as corr_ops
 from ..training import rollout as R
 
 

@@ -5,7 +5,6 @@ and a PDF trajectory plot.  evo/plyfile are optional — functions degrade
 to warnings when the packages are missing (this image has neither)."""
 from __future__ import annotations
 
-import os
 from pathlib import Path
 
 import numpy as np
