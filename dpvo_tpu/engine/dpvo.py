@@ -94,14 +94,12 @@ class DPVO:
             self.use_pallas = jax.default_backend() not in ("cpu",)
         else:
             self.use_pallas = cfg.CORR_BACKEND == "pallas"
-        # host metadata (sorts) runs in worker threads; the async
-        # keyframe fetch gets its OWN executor — a device fetch can park
-        # a worker for a whole frame and must never starve the sorts
+        # host metadata (sorts) runs in worker threads; keyframe scalars
+        # are read on the main thread after a copy_to_host_async started
+        # lag-N frames earlier (no worker fetch: concurrent d2h RPCs
+        # contend on the client lock)
         self._meta_pool = ThreadPoolExecutor(max_workers=4)
-        # single worker: concurrent fetches contend on the client lock
-        self._fetch_pool = ThreadPoolExecutor(max_workers=1)
         self._kf_queue: list = []
-        self._kf_fetch = None
         self._pending_perm = None
         self._last_mag = None
         self._mm_tcand = None
@@ -348,6 +346,7 @@ class DPVO:
         from ..ops.corr_pallas import TILE
         hs = self.hs
         e = hs.e_num
+        t_s = self._tick()
         kk_g = hs.kk[:bucket].astype(np.int32).copy()
         kk_g[e:] = -1
         # ii*12345+jj fits int32 (ii < 4096 frames)
@@ -377,15 +376,22 @@ class DPVO:
 
         valid = (np.arange(bucket) < e).astype(np.int32)
         arrays = [hs.ii[:bucket], hs.jj[:bucket], hs.kk[:bucket], valid]
+        self._tock(t_s, "update/meta/host1")
+        t_s = self._tick()
         arrays += list(f_kk.result()) + list(f_ij.result())
         arrays += list(f_nb.result()) + list(cg) + list(mm_arrays)
+        self._tock(t_s, "update/meta/join")
+        t_s = self._tick()
         blob = np.concatenate([np.ascontiguousarray(a, np.int32)
                                for a in arrays])
+        self._tock(t_s, "update/meta/concat")
+        t_s = self._tick()
         nb = len(arrays)
         bools = (3,) + ((nb - 5, nb - 1) if mm_arrays else ())
         parts = kernels.split_blob(blob,
                                    tuple(len(a) for a in arrays),
                                    bools=bools)
+        self._tock(t_s, "update/meta/upload")
         ii_d, jj_d, kk_d, valid_d = parts[:4]
         meta_kk = parts[4:8]
         meta_ij = parts[8:12]
@@ -426,8 +432,7 @@ class DPVO:
                 np.int32(0), np.int32(0), run_ba=False,
                 corr=(corr_perm, corr_inv, tile_frame),
                 agg_meta=agg_meta, nbrs=nbrs, mm=mm)
-            self._last_mag = (mag, self._mm_tcand) if mm is not None \
-                else None
+            self._set_last_mag(mag, mm)
             self.__run_global_BA()
         else:
             t0 = self.n - self.cfg.OPTIMIZATION_WINDOW \
@@ -440,8 +445,7 @@ class DPVO:
                 np.int32(t0), np.int32(self.n), run_ba=True,
                 corr=(corr_perm, corr_inv, tile_frame),
                 agg_meta=agg_meta, nbrs=nbrs, mm=mm)
-            self._last_mag = (mag, self._mm_tcand) if mm is not None \
-                else None
+            self._set_last_mag(mag, mm)
             self._tock(t_up, "update/step")
 
     def _call_update_step(self, ds, ii_d, jj_d, kk_d, valid, t0, t1,
@@ -578,7 +582,25 @@ class DPVO:
         mag = kernels.flowmag_two_blob(ds.poses, ds.patches,
                                        ds.intrinsics, blob,
                                        cap=len(a[0]))
-        return self._fetch_pool.submit(float, mag), tcand
+        try:
+            mag.copy_to_host_async()
+        except Exception:
+            pass
+        return mag, tcand
+
+    def _set_last_mag(self, mag, mm):
+        """Stash the in-step motionmag scalar and start its d2h copy NOW:
+        by the time the lag-N keyframe decision reads it, the transfer has
+        long completed and float() is ~0.1ms instead of a ~30ms blocking
+        RPC through the remote-TPU tunnel."""
+        if mm is None:
+            self._last_mag = None
+            return
+        try:
+            mag.copy_to_host_async()
+        except Exception:
+            pass  # non-jax array (tests) or backend without async copies
+        self._last_mag = (mag, self._mm_tcand)
 
     def _keyframe_apply(self, m, tcand):
         """Merge the candidate frame if motion is small
@@ -635,15 +657,16 @@ class DPVO:
         if cfg.ASYNC_KEYFRAME:
             t_l = self._tick()
             if self._last_mag is not None:
-                mag, tcand = self._last_mag
-                self._kf_queue.append(
-                    (self._fetch_pool.submit(float, mag), tcand))
+                self._kf_queue.append(self._last_mag)
                 self._last_mag = None
             self._tock(t_l, "keyframe/launch")
             if len(self._kf_queue) > cfg.ASYNC_KEYFRAME_LAG:
-                fut, tcand = self._kf_queue.pop(0)
+                mag, tcand = self._kf_queue.pop(0)
                 t_r = self._tick()
-                m = fut.result()
+                # the d2h copy was started lag-N frames ago
+                # (_set_last_mag), so this read is ~0.1ms, not a ~30ms
+                # blocking RPC
+                m = float(mag)
                 self._tock(t_r, "keyframe/result")
                 t_a = self._tick()
                 self._keyframe_apply(m, tcand)
@@ -651,8 +674,8 @@ class DPVO:
         else:
             launched = self._motionmag_launch()
             if launched is not None:
-                fut, tcand = launched
-                self._keyframe_apply(fut.result(), tcand)
+                mag, tcand = launched
+                self._keyframe_apply(float(mag), tcand)
 
         # retire edges outside the removal window (ref dpvo.py:305-310)
         t_rt = self._tick()
@@ -726,10 +749,10 @@ class DPVO:
             else np.ascontiguousarray(image, np.uint8),
             np.asarray(intrinsics, np.float32) / self.RES,
             np.int32(self.n), np.float32(fac),
-            np.bool_(self.is_initialized), self.next_rng(),
+            np.bool_(self.is_initialized), self._rng,
             M=self.M, pmem=self.pmem, mem=self.mem,
             motion_damping=float(cfg.MOTION_DAMPING),
-            strat=cfg.CENTROID_SEL_STRAT)
+            strat=cfg.CENTROID_SEL_STRAT, step=np.int32(hs.counter))
         self._tock(t_tr, "track_frame")
 
         hs.counter += 1

@@ -137,14 +137,22 @@ def track_frame_u8(params, patchifier: Patchifier,
                    poses, patches_buf, intrinsics_buf, colors_buf,
                    imap_buf, gmap_buf, fmap1_buf, fmap2_buf,
                    image_u8, intrinsics, n, fac, is_initialized, rng,
-                   M, pmem, mem, motion_damping, strat="RANDOM"):
+                   M, pmem, mem, motion_damping, strat="RANDOM",
+                   step=None):
     """Whole per-frame device pipeline in ONE dispatch: uint8 image
     normalization (ref dpvo.py:389), centroid selection (net.py:115-132),
-    Patchifier forward, and all state writes."""
+    Patchifier forward, and all state writes.
+
+    ``rng`` is a base key reused every frame; ``step`` (dynamic int32)
+    folds the frame counter in ON DEVICE — the host never dispatches a
+    per-frame jax.random.split (each dispatch is an RPC through a
+    remote-TPU tunnel)."""
     from ..models.vonet import (image_gradient, normalize_images,
                                 select_centroids)
     img = normalize_images(image_u8)
     h, w = img.shape[0] // 4, img.shape[1] // 4
+    if step is not None:
+        rng = jax.random.fold_in(rng, step)
     k_sel, k_depth = jax.random.split(rng)
     grad = image_gradient(img[None]) if strat == "GRADIENT_BIAS" else None
     coords = select_centroids(k_sel, strat, 1, h, w, M, gradient=grad)[0]

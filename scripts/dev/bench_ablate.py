@@ -42,15 +42,17 @@ def run(label, patch=None, n_warm=34, n_bench=20):
 
 
 run("full")
-run("no keyframe", lambda s: setattr(s, "keyframe", lambda: None))
+# skip merges but keep edge retirement (else the table overflows)
+run("no merge", lambda s: setattr(s, "_keyframe_apply",
+                                  lambda m, tcand: None))
 
 
 def no_update(s):
+    # no update_step; keyframe still retires edges (no mags -> no merges)
     s.update = lambda: None
-    s.keyframe = lambda: None
 
 
-run("no update+keyframe", no_update)
+run("no update", no_update)
 
 
 def no_append(s):
@@ -60,3 +62,33 @@ def no_append(s):
 
 
 run("track only", no_append)
+
+
+def no_ba(s):
+    orig = s._call_update_step
+
+    def wrapped(ds, ii_d, jj_d, kk_d, valid, t0, t1, run_ba, corr,
+                agg_meta, nbrs, mm=None):
+        return orig(ds, ii_d, jj_d, kk_d, valid, t0, t1, False, corr,
+                    agg_meta, nbrs, mm)
+
+    s._call_update_step = wrapped
+
+
+run("no BA", no_ba)
+run("corr XLA", lambda s: setattr(s, "use_pallas", False))
+
+
+def no_mm(s):
+    orig = s._update_metadata
+
+    def wrapped(bucket):
+        a, b, c, d, _mm = orig(bucket)
+        s._mm_tcand = None
+        return a, b, c, d, None
+
+    s._update_metadata = wrapped
+    s._keyframe_apply = lambda m, tcand: None
+
+
+run("no in-step motionmag", no_mm)
