@@ -189,23 +189,31 @@ class DPVO:
 
     def append_factors(self, kk_new, jj_new):
         """ref dpvo.py:215-221 (args named (ii, jj) there but carry patch
-        indices)."""
+        indices).  Host bookkeeping + ONE device dispatch that writes the
+        new rows into the device index tables and zeros their hidden
+        state (padded to a few compiled chunk sizes)."""
         cnt = len(kk_new)
         if cnt == 0:
             return
         self._flush_edge_permute()
         s = self.hs.e_num
+        chunk = max(512, 1 << int(math.ceil(math.log2(max(cnt, 1)))))
         if s + cnt > self.E_cap:
             raise RuntimeError(
                 f"edge table overflow: {s}+{cnt} > {self.E_cap}; increase "
                 f"EDGE_CAPACITY")
+        chunk = min(chunk, self.E_cap - s)
         self.hs.kk[s:s + cnt] = kk_new
         self.hs.jj[s:s + cnt] = jj_new
         self.hs.ii[s:s + cnt] = kk_new // self.M
         self.hs.e_num = s + cnt
-        # zero the hidden state of the new rows (one jitted dispatch)
-        self.ds.net = kernels.zero_rows(self.ds.net, np.int32(s),
-                                        np.int32(cnt))
+        blob = np.zeros(2 * chunk, np.int32)
+        blob[:cnt] = kk_new
+        blob[chunk:chunk + cnt] = jj_new
+        (self.ds.eii, self.ds.ejj, self.ds.ekk,
+         self.ds.net) = kernels.append_edges(
+            self.ds.eii, self.ds.ejj, self.ds.ekk, self.ds.net,
+            blob, np.int32(s), M=self.M, chunk=chunk)
 
     def remove_factors(self, mask, store: bool):
         """ref dpvo.py:223-238; mask over the first e_num live edges."""
@@ -241,8 +249,12 @@ class DPVO:
             self.hs.n_inac = dest + cnt_s
         keep = np.nonzero(~mask)[0]
         cnt = len(keep)
-        perm = np.concatenate([keep, np.arange(e, self.E_cap),
-                               np.arange(cnt, e)])[:self.E_cap]
+        # permutation over a bucket-sized prefix (power-of-two cover of
+        # the pre-removal live count): gathering the full 57k-row tables
+        # cost ~7.5ms/frame when <16k rows were live
+        pb = self._bucket_for(e)
+        perm = np.concatenate([keep, np.arange(e, pb),
+                               np.arange(cnt, e)])[:pb].astype(np.int32)
         self.hs.ii[:cnt] = self.hs.ii[:e][keep]
         self.hs.jj[:cnt] = self.hs.jj[:e][keep]
         self.hs.kk[:cnt] = self.hs.kk[:e][keep]
@@ -250,24 +262,33 @@ class DPVO:
         if self.cfg.LOOP_CLOSURE:
             # eager: the inactive store reads device tables in the
             # current layout
-            self.ds.net, self.ds.target, self.ds.weight = \
-                kernels.permute_edges(
-                    self.ds.net, self.ds.target, self.ds.weight,
-                    jnp.asarray(perm, jnp.int32), jnp.int32(cnt))
+            self._pending_perm = perm
+            self._flush_edge_permute()
         else:
             # defer: compose consecutive removals (keyframe merge +
             # retire) into ONE device permute per frame
             if self._pending_perm is None:
-                self._pending_perm = perm.astype(np.int32)
+                self._pending_perm = perm
             else:
-                self._pending_perm = self._pending_perm[perm]
+                # the earlier permutation may reference rows up to its
+                # own (larger) bucket; keep the composed length at the
+                # max so the flush gather stays in range
+                prev = self._pending_perm
+                if len(perm) < len(prev):
+                    perm = np.concatenate([
+                        perm, np.arange(len(perm), len(prev),
+                                        dtype=np.int32)])
+                self._pending_perm = prev[perm]
 
     def _flush_edge_permute(self):
         if self._pending_perm is None:
             return
-        self.ds.net, self.ds.target, self.ds.weight = kernels.permute_edges(
-            self.ds.net, self.ds.target, self.ds.weight,
-            self._pending_perm, np.int32(self.hs.e_num))
+        ds = self.ds
+        (ds.net, ds.target, ds.weight, ds.eii, ds.ejj, ds.ekk) = \
+            kernels.permute_edges_b(
+                ds.net, ds.target, ds.weight, ds.eii, ds.ejj, ds.ekk,
+                self._pending_perm, np.int32(self.hs.e_num),
+                bucket=len(self._pending_perm))
         self._pending_perm = None
 
     def __edges_forw(self):
@@ -288,15 +309,18 @@ class DPVO:
         jj = np.tile(jrange, len(kk0))
         return kk, jj
 
-    def _edge_bucket(self):
-        """Bucket the live edge count to {1, 1.5} * 2^k (a handful of
-        compiled bucket sizes instead of one giant program; the 1.5 step
-        keeps padding waste under 33%)."""
-        e = max(self.hs.e_num, 1024)
+    def _bucket_for(self, e):
+        """Bucket an edge count to {1, 1.5} * 2^k (a handful of compiled
+        bucket sizes instead of one giant program; the 1.5 step keeps
+        padding waste under 33%)."""
+        e = max(e, 1024)
         p2 = 1 << math.ceil(math.log2(e))
         if 3 * (p2 // 4) >= e and (3 * (p2 // 4)) % 1024 == 0:
             p2 = 3 * (p2 // 4)
         return min(p2, self.E_cap)
+
+    def _edge_bucket(self):
+        return self._bucket_for(self.hs.e_num)
 
     def _corr_grouping(self, bucket):
         """Device-array view of _corr_grouping_np (tests)."""
@@ -332,79 +356,26 @@ class DPVO:
         tile_frame[pos // TILE:] = int(slots[order[0]])
         return perm, inv, tile_frame
 
-    def _agg_meta(self):
-        """Back-compat shim (tests): group-attention metadata only."""
-        _, meta, _, _ = self._update_metadata(self._edge_bucket())
-        return meta
-
-    def _update_metadata(self, bucket):
-        """All per-update host metadata (three sorts + corr grouping) in
-        parallel threads, packed into ONE device upload (each h2d
-        transfer is a separate RPC through the remote-TPU tunnel)."""
-        from ..ops.scatter import group_meta
-        from ..ops.graph import neighbors_host
-        from ..ops.corr_pallas import TILE
+    def _mm_blob(self):
+        """Keyframe motionmag edge slices, packed into one tiny int32
+        blob (the mag itself is computed inside update_step —
+        ASYNC_KEYFRAME).  All other per-update metadata (group sorts,
+        neighbors, corr grouping) is computed ON DEVICE by
+        update_step_dev; the host uploads nothing else."""
+        self._mm_tcand = None
+        if not self.cfg.ASYNC_KEYFRAME:
+            return None
         hs = self.hs
-        e = hs.e_num
-        t_s = self._tick()
-        kk_g = hs.kk[:bucket].astype(np.int32).copy()
-        kk_g[e:] = -1
-        # ii*12345+jj fits int32 (ii < 4096 frames)
-        pair = hs.ii[:bucket] * np.int32(12345) + hs.jj[:bucket]
-        pair[e:] = -1
-        f_kk = self._meta_pool.submit(group_meta, kk_g)
-        f_ij = self._meta_pool.submit(group_meta, pair)
-        f_nb = self._meta_pool.submit(neighbors_host,
-                                      hs.kk[:bucket], hs.jj[:bucket], e)
-        if self.use_pallas:
-            cg = self._corr_grouping_np(bucket)
-        else:
-            cg = ()
-
-        # keyframe motionmag index arrays ride in the same upload and
-        # the mag itself is computed inside update_step (ASYNC_KEYFRAME)
-        mm_arrays, self._mm_tcand = (), None
-        if self.cfg.ASYNC_KEYFRAME:
-            i = self.n - self.cfg.KEYFRAME_INDEX - 1
-            j = self.n - self.cfg.KEYFRAME_INDEX + 1
-            a = self._motionmag_edges(i, j)
-            b = self._motionmag_edges(j, i)
-            if a[4] > 0 or b[4] > 0:
-                mm_arrays = (*a[:4], *b[:4])
-                self._mm_tcand = int(
-                    hs.tstamps[self.n - self.cfg.KEYFRAME_INDEX])
-
-        valid = (np.arange(bucket) < e).astype(np.int32)
-        arrays = [hs.ii[:bucket], hs.jj[:bucket], hs.kk[:bucket], valid]
-        self._tock(t_s, "update/meta/host1")
-        t_s = self._tick()
-        arrays += list(f_kk.result()) + list(f_ij.result())
-        arrays += list(f_nb.result()) + list(cg) + list(mm_arrays)
-        self._tock(t_s, "update/meta/join")
-        t_s = self._tick()
-        blob = np.concatenate([np.ascontiguousarray(a, np.int32)
-                               for a in arrays])
-        self._tock(t_s, "update/meta/concat")
-        t_s = self._tick()
-        nb = len(arrays)
-        bools = (3,) + ((nb - 5, nb - 1) if mm_arrays else ())
-        parts = kernels.split_blob(blob,
-                                   tuple(len(a) for a in arrays),
-                                   bools=bools)
-        self._tock(t_s, "update/meta/upload")
-        ii_d, jj_d, kk_d, valid_d = parts[:4]
-        meta_kk = parts[4:8]
-        meta_ij = parts[8:12]
-        nbrs = parts[12:14]
-        pos = 14
-        if self.use_pallas:
-            corr = parts[pos:pos + 3]
-            pos += 3
-        else:
-            corr = (None, None, None)
-        mm = parts[pos:pos + 8] if mm_arrays else None
-        return ((ii_d, jj_d, kk_d, valid_d), (meta_kk, meta_ij),
-                corr, nbrs, mm)
+        i = self.n - self.cfg.KEYFRAME_INDEX - 1
+        j = self.n - self.cfg.KEYFRAME_INDEX + 1
+        a = self._motionmag_edges(i, j)
+        b = self._motionmag_edges(j, i)
+        if a[4] == 0 and b[4] == 0:
+            return None
+        self._mm_tcand = int(
+            hs.tstamps[self.n - self.cfg.KEYFRAME_INDEX])
+        return np.concatenate([np.ascontiguousarray(x, np.int32)
+                               for x in (*a[:4], *b[:4])])
 
     # --- core steps --------------------------------------------------------
 
@@ -413,9 +384,7 @@ class DPVO:
         self._flush_edge_permute()
         t_meta = self._tick()
         bucket = self._edge_bucket()
-        ((ii_d, jj_d, kk_d, valid), agg_meta,
-         (corr_perm, corr_inv, tile_frame), nbrs, mm) = \
-            self._update_metadata(bucket)
+        mm_blob = self._mm_blob()
         self._tock(t_meta, "update/meta")
 
         run_global = (self.cfg.LOOP_CLOSURE
@@ -428,11 +397,9 @@ class DPVO:
             # active + inactive edges (ref dpvo.py:312-326)
             (ds.net, ds.target, ds.weight, _delta, ds.poses,
              ds.patches, mag) = self._call_update_step(
-                ds, ii_d, jj_d, kk_d, valid,
-                np.int32(0), np.int32(0), run_ba=False,
-                corr=(corr_perm, corr_inv, tile_frame),
-                agg_meta=agg_meta, nbrs=nbrs, mm=mm)
-            self._set_last_mag(mag, mm)
+                ds, bucket, np.int32(0), np.int32(0), run_ba=False,
+                mm_blob=mm_blob)
+            self._set_last_mag(mag, mm_blob)
             self.__run_global_BA()
         else:
             t0 = self.n - self.cfg.OPTIMIZATION_WINDOW \
@@ -441,40 +408,36 @@ class DPVO:
             t_up = self._tick()
             (ds.net, ds.target, ds.weight, _delta, ds.poses,
              ds.patches, mag) = self._call_update_step(
-                ds, ii_d, jj_d, kk_d, valid,
-                np.int32(t0), np.int32(self.n), run_ba=True,
-                corr=(corr_perm, corr_inv, tile_frame),
-                agg_meta=agg_meta, nbrs=nbrs, mm=mm)
-            self._set_last_mag(mag, mm)
+                ds, bucket, np.int32(t0), np.int32(self.n), run_ba=True,
+                mm_blob=mm_blob)
+            self._set_last_mag(mag, mm_blob)
             self._tock(t_up, "update/step")
 
-    def _call_update_step(self, ds, ii_d, jj_d, kk_d, valid, t0, t1,
-                          run_ba, corr, agg_meta, nbrs, mm=None):
-        """Dispatch update_step on the selected corr backend, falling
-        back to the XLA gather path (with a loud warning) if the Pallas
-        kernel fails to compile — a kernel regression must degrade to a
-        slower bench number, never to zero (VERDICT r1 weak#3)."""
-        corr_perm, corr_inv, tile_frame = corr if self.use_pallas \
-            else (None, None, None)
+    def _call_update_step(self, ds, bucket, t0, t1, run_ba, mm_blob=None):
+        """Dispatch update_step_dev (device edge tables + in-program
+        metadata) on the selected corr backend, falling back to the XLA
+        gather path (with a loud warning) if the Pallas kernel fails to
+        compile — a kernel regression must degrade to a slower bench
+        number, never to zero (VERDICT r1 weak#3)."""
         args = (self.params_update, ds.poses, ds.patches, ds.intrinsics,
                 ds.imap, ds.gmap, ds.fmap1, ds.fmap2,
                 ds.net, ds.target, ds.weight,
-                ii_d, jj_d, kk_d, valid, t0, t1)
+                ds.eii, ds.ejj, ds.ekk, np.int32(self.hs.e_num), t0, t1,
+                mm_blob)
         kw = dict(update_mod=self.update_mod, M=self.M, pmem=self.pmem,
                   mem=self.mem, n_cap=self.n_cap, k_cap=self.k_cap,
-                  iterations=2, run_ba=run_ba, agg_meta=agg_meta,
-                  nbrs=nbrs, mm=mm)
+                  bucket=bucket, iterations=2, run_ba=run_ba,
+                  has_mm=mm_blob is not None)
         if self.use_pallas:
             try:
-                return kernels.update_step(
-                    *args, use_pallas=True, corr_perm=corr_perm,
-                    corr_inv=corr_inv, tile_frame=tile_frame, **kw)
+                return kernels.update_step_dev(*args, use_pallas=True,
+                                               **kw)
             except Exception as e:  # Mosaic compile / runtime failure
                 print("WARNING: Pallas correlation backend failed "
                       f"({type(e).__name__}: {e}); falling back to the "
                       "XLA gather path", flush=True)
                 self.use_pallas = False
-        return kernels.update_step(*args, use_pallas=False, **kw)
+        return kernels.update_step_dev(*args, use_pallas=False, **kw)
 
     def __run_global_BA(self):
         """Global BA over active + inactive edges (ref dpvo.py:312-326)."""
@@ -631,6 +594,9 @@ class DPVO:
             hs.kk[:e][mask_i] -= self.M
             hs.ii[:e][mask_i] -= 1
             hs.jj[:e][hs.jj[:e] > k] -= 1
+            # elementwise, so it commutes with the (deferred) row permute
+            ds.eii, ds.ejj, ds.ekk = kernels.shift_edge_indices(
+                ds.eii, ds.ejj, ds.ekk, np.int32(k), M=self.M)
 
             (ds.poses, ds.patches, ds.intrinsics, ds.colors, ds.imap,
              ds.gmap, ds.fmap1, ds.fmap2) = kernels.compact_frames(

@@ -199,28 +199,13 @@ def _corr_features_pallas(gmap_buf, fmap1_buf, fmap2_buf, coords2, kk_mod,
     return feat[corr_inv]                                # (E, 882)
 
 
-@partial(jax.jit,
-         static_argnames=("update_mod", "M", "pmem", "mem", "n_cap",
-                          "k_cap", "iterations", "run_ba", "use_pallas"),
-         donate_argnums=(1, 2, 8, 9, 10))
-def update_step(params, poses, patches_buf, intrinsics_buf,
-                imap_buf, gmap_buf, fmap1_buf, fmap2_buf,
-                net_tab, target_tab, weight_tab, ii, jj, kk, valid, t0, t1,
-                update_mod: Update, M, pmem, mem, n_cap, k_cap,
-                iterations=2, run_ba=True, use_pallas=False,
-                corr_perm=None, corr_inv=None, tile_frame=None,
-                agg_meta=None, nbrs=None, mm=None):
-    """Reproject -> correlate -> recurrent update -> bundle adjust
-    (ref dpvo.py:328-356).
-
-    Edge arrays (ii/jj/kk/valid and the corr/agg metadata) arrive sliced
-    to a power-of-two bucket of the live edge count; the full-capacity
-    net/target/weight tables are sliced to the bucket in here and written
-    back in place (donated), so the per-update compute scales with the
-    live edge count instead of EDGE_CAPACITY.
-    Returns (net_tab', target_tab', weight_tab', delta, poses',
-    patches_buf').
-    """
+def _update_core(params, poses, patches_buf, intrinsics_buf,
+                 imap_buf, gmap_buf, fmap1_buf, fmap2_buf,
+                 net_tab, target_tab, weight_tab, ii, jj, kk, valid,
+                 t0, t1, update_mod: Update, M, pmem, mem, n_cap, k_cap,
+                 iterations, run_ba, use_pallas,
+                 corr_perm, corr_inv, tile_frame, agg_meta, nbrs, mm):
+    """Shared body of update_step/update_step_dev (traced inside jit)."""
     E = ii.shape[0]  # the bucket size
     P = patches_buf.shape[-1]
     c = P // 2
@@ -274,6 +259,93 @@ def update_step(params, poses, patches_buf, intrinsics_buf,
                           mm[0], mm[1], mm[2], mm[3],
                           mm[4], mm[5], mm[6], mm[7])
     return net_tab, target_tab, weight_tab, delta, poses, patches_buf, mag
+
+
+@partial(jax.jit,
+         static_argnames=("update_mod", "M", "pmem", "mem", "n_cap",
+                          "k_cap", "iterations", "run_ba", "use_pallas"),
+         donate_argnums=(1, 2, 8, 9, 10))
+def update_step(params, poses, patches_buf, intrinsics_buf,
+                imap_buf, gmap_buf, fmap1_buf, fmap2_buf,
+                net_tab, target_tab, weight_tab, ii, jj, kk, valid, t0, t1,
+                update_mod: Update, M, pmem, mem, n_cap, k_cap,
+                iterations=2, run_ba=True, use_pallas=False,
+                corr_perm=None, corr_inv=None, tile_frame=None,
+                agg_meta=None, nbrs=None, mm=None):
+    """Reproject -> correlate -> recurrent update -> bundle adjust
+    (ref dpvo.py:328-356) with HOST-provided edge arrays + metadata.
+
+    Edge arrays (ii/jj/kk/valid and the corr/agg metadata) arrive sliced
+    to a power-of-two bucket of the live edge count; the full-capacity
+    net/target/weight tables are sliced to the bucket in here and written
+    back in place (donated), so the per-update compute scales with the
+    live edge count instead of EDGE_CAPACITY.
+    Returns (net_tab', target_tab', weight_tab', delta, poses',
+    patches_buf', mag).
+    """
+    return _update_core(params, poses, patches_buf, intrinsics_buf,
+                        imap_buf, gmap_buf, fmap1_buf, fmap2_buf,
+                        net_tab, target_tab, weight_tab, ii, jj, kk,
+                        valid, t0, t1, update_mod, M, pmem, mem, n_cap,
+                        k_cap, iterations, run_ba, use_pallas,
+                        corr_perm, corr_inv, tile_frame, agg_meta, nbrs,
+                        mm)
+
+
+@partial(jax.jit,
+         static_argnames=("update_mod", "M", "pmem", "mem", "n_cap",
+                          "k_cap", "iterations", "run_ba", "use_pallas",
+                          "bucket", "has_mm"),
+         donate_argnums=(1, 2, 8, 9, 10))
+def update_step_dev(params, poses, patches_buf, intrinsics_buf,
+                    imap_buf, gmap_buf, fmap1_buf, fmap2_buf,
+                    net_tab, target_tab, weight_tab,
+                    eii_tab, ejj_tab, ekk_tab, e_num, t0, t1, mm_blob,
+                    update_mod: Update, M, pmem, mem, n_cap, k_cap,
+                    bucket, iterations=2, run_ba=True, use_pallas=False,
+                    has_mm=False):
+    """update_step with DEVICE-resident edge index tables and ALL edge
+    metadata (group sorts, temporal neighbors, Pallas corr grouping)
+    computed in-program.
+
+    The host uploads nothing per update except the tiny keyframe
+    motionmag blob — a 12k-edge argsort costs ~40us on TPU while the
+    host metadata path costs three thread sorts + a ~1MB upload RPC
+    (~15ms through a remote-TPU tunnel).
+    ``eii/ejj/ekk`` are full-capacity int32 tables maintained by
+    ``append_edges``/``permute_edges_b``/``shift_edge_indices``; rows
+    >= e_num are stale and masked by ``valid``.
+    """
+    from ..ops import graph
+    from ..ops.scatter import group_meta_device
+    from ..ops.corr_pallas import corr_grouping_device
+
+    ii = jax.lax.dynamic_slice(eii_tab, (0,), (bucket,))
+    jj = jax.lax.dynamic_slice(ejj_tab, (0,), (bucket,))
+    kk = jax.lax.dynamic_slice(ekk_tab, (0,), (bucket,))
+    valid = jnp.arange(bucket, dtype=jnp.int32) < e_num
+
+    kk_g = jnp.where(valid, kk, -1)
+    pair = jnp.where(valid, ii * jnp.int32(12345) + jj, -1)
+    agg_meta = (group_meta_device(kk_g), group_meta_device(pair))
+    nbrs = graph.neighbors(kk, jj, valid)
+
+    corr_perm = corr_inv = tile_frame = None
+    if use_pallas:
+        corr_perm, corr_inv, tile_frame = corr_grouping_device(jj, mem)
+
+    mm = None
+    if has_mm:
+        mm = split_blob(mm_blob, (mm_blob.shape[0] // 8,) * 8,
+                        bools=(3, 7))
+
+    return _update_core(params, poses, patches_buf, intrinsics_buf,
+                        imap_buf, gmap_buf, fmap1_buf, fmap2_buf,
+                        net_tab, target_tab, weight_tab, ii, jj, kk,
+                        valid, t0, t1, update_mod, M, pmem, mem, n_cap,
+                        k_cap, iterations, run_ba, use_pallas,
+                        corr_perm, corr_inv, tile_frame, agg_meta, nbrs,
+                        mm)
 
 
 @partial(jax.jit, static_argnames=("update_mod", "M", "pmem", "mem"))
@@ -367,6 +439,63 @@ def compact_frames(poses, patches_buf, intrinsics_buf, colors_buf,
 
     return (poses, patches_buf, intrinsics_buf, colors_buf,
             imap_buf, gmap_buf, fmap1_buf, fmap2_buf)
+
+
+@partial(jax.jit, static_argnames=("M", "chunk"),
+         donate_argnums=(0, 1, 2, 3))
+def append_edges(eii, ejj, ekk, net_tab, new_blob, s, M, chunk):
+    """Append ``chunk`` edge rows at ``s``: write kk/jj (packed in
+    new_blob, pad rows carry garbage that later appends overwrite),
+    derive ii = kk // M, and zero the new rows' hidden state
+    (ref dpvo.py:215-221).  One dispatch, ~2*chunk ints uploaded."""
+    kk_new = jax.lax.dynamic_slice(new_blob, (0,), (chunk,))
+    jj_new = jax.lax.dynamic_slice(new_blob, (chunk,), (chunk,))
+    ekk = jax.lax.dynamic_update_slice(ekk, kk_new, (s,))
+    ejj = jax.lax.dynamic_update_slice(ejj, jj_new, (s,))
+    eii = jax.lax.dynamic_update_slice(eii, kk_new // M, (s,))
+    net_tab = jax.lax.dynamic_update_slice(
+        net_tab, jnp.zeros((chunk, net_tab.shape[1]), net_tab.dtype),
+        (s, 0))
+    return eii, ejj, ekk, net_tab
+
+
+@partial(jax.jit, static_argnames=("bucket",),
+         donate_argnums=(0, 1, 2, 3, 4, 5))
+def permute_edges_b(net, target, weight, eii, ejj, ekk, perm, zero_from,
+                    bucket):
+    """Bucketed edge-table compaction: only the first ``bucket`` rows
+    (a power-of-two cover of the live count) are gathered — the old
+    full-capacity permute cost ~7.5ms/frame on a 57k-row table when
+    <16k rows were live.  Rows >= zero_from are cleared within the
+    bucket (fresh edges start from zero state, ref dpvo.py:220-221)."""
+    D = net.shape[1]
+    net_b = jax.lax.dynamic_slice(net, (0, 0), (bucket, D))[perm]
+    tgt_b = jax.lax.dynamic_slice(target, (0, 0), (bucket, 2))[perm]
+    wgt_b = jax.lax.dynamic_slice(weight, (0, 0), (bucket, 2))[perm]
+    ii_b = jax.lax.dynamic_slice(eii, (0,), (bucket,))[perm]
+    jj_b = jax.lax.dynamic_slice(ejj, (0,), (bucket,))[perm]
+    kk_b = jax.lax.dynamic_slice(ekk, (0,), (bucket,))[perm]
+    row = jnp.arange(bucket)[:, None]
+    net_b = jnp.where(row >= zero_from, 0.0, net_b)
+    tgt_b = jnp.where(row >= zero_from, 0.0, tgt_b)
+    wgt_b = jnp.where(row >= zero_from, 0.0, wgt_b)
+    return (jax.lax.dynamic_update_slice(net, net_b, (0, 0)),
+            jax.lax.dynamic_update_slice(target, tgt_b, (0, 0)),
+            jax.lax.dynamic_update_slice(weight, wgt_b, (0, 0)),
+            jax.lax.dynamic_update_slice(eii, ii_b, (0,)),
+            jax.lax.dynamic_update_slice(ejj, jj_b, (0,)),
+            jax.lax.dynamic_update_slice(ekk, kk_b, (0,)))
+
+
+@partial(jax.jit, static_argnames=("M",), donate_argnums=(0, 1, 2))
+def shift_edge_indices(eii, ejj, ekk, k, M):
+    """Keyframe-merge index shift on the device edge tables
+    (ref dpvo.py:283-285): frames above the removed slot k move down."""
+    mi = eii > k
+    ekk = jnp.where(mi, ekk - M, ekk)
+    eii = jnp.where(mi, eii - 1, eii)
+    ejj = jnp.where(ejj > k, ejj - 1, ejj)
+    return eii, ejj, ekk
 
 
 @partial(jax.jit, donate_argnums=(0, 1, 2))

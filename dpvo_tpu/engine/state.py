@@ -44,6 +44,13 @@ class DeviceState:
     target: Any       # (E_cap, 2) f32
     weight: Any       # (E_cap, 2) f32
 
+    # device twins of the host ii/jj/kk bookkeeping: update_step_dev
+    # derives ALL per-update metadata from these in-program, so the host
+    # uploads nothing per update (rows >= e_num are stale/masked)
+    eii: Any          # (E_cap,) i32
+    ejj: Any          # (E_cap,) i32
+    ekk: Any          # (E_cap,) i32
+
     target_inac: Any  # (E_inac, 2) f32 — retired edges (global BA)
     weight_inac: Any  # (E_inac, 2) f32
 
@@ -104,6 +111,9 @@ def allocate(cfg: VOConfig, ht: int, wd: int, P: int = 3,
         net=jnp.zeros((E, DIM), jnp.float32),
         target=jnp.zeros((E, 2), jnp.float32),
         weight=jnp.zeros((E, 2), jnp.float32),
+        eii=jnp.zeros((E,), jnp.int32),
+        ejj=jnp.zeros((E,), jnp.int32),
+        ekk=jnp.zeros((E,), jnp.int32),
         target_inac=jnp.zeros((cfg.EDGE_CAPACITY_INAC, 2), jnp.float32),
         weight_inac=jnp.zeros((cfg.EDGE_CAPACITY_INAC, 2), jnp.float32),
     )

@@ -163,6 +163,57 @@ def corr_pallas(g_pre, fmap_padded, coords, tile_frame, interpret=False):
     return out.transpose(0, 4, 3, 1, 2)
 
 
+def corr_grouping_device(jj, mem):
+    """Device twin of the engine's host ``_corr_grouping_np``: sort edges
+    by fmap ring slot and pad each slot's group to TILE multiples so the
+    kernel sees frame-pure tiles.
+
+    jj (E,) int32 raw target-frame ids (rows past the live count may be
+    stale — their output rows are never read, they only must not break
+    frame purity, which sorting by slot guarantees).
+    Returns (perm (Es,), inv (E,), tile_frame (Es//TILE,)) int32 with
+    Es = E + mem*TILE, semantically equivalent to the host version:
+    perm[t*TILE:(t+1)*TILE] all target ring slot tile_frame[t], and
+    inv[e] gives edge e's row in the permuted table.
+    """
+    E = jj.shape[0]
+    Es = E + mem * TILE
+    idx = jnp.arange(E, dtype=jnp.int32)
+    slots = (jj % mem).astype(jnp.int32)
+    order = jnp.argsort(slots, stable=True).astype(jnp.int32)
+    ss = slots[order]
+
+    counts = jax.ops.segment_sum(jnp.ones((E,), jnp.int32), slots,
+                                 num_segments=mem)
+    padded = ((counts + TILE - 1) // TILE) * TILE
+    cum_pad = jnp.cumsum(padded)                      # inclusive (mem,)
+    offs = cum_pad - padded                           # exclusive
+    cum_cnt = jnp.cumsum(counts)
+    starts = cum_cnt - counts                         # unpadded starts
+
+    # dest position of each sorted row: group offset + rank in group
+    rank = idx - starts[ss]
+    dest = offs[ss] + rank                            # (E,)
+
+    # per-group anchor row (first sorted row; empty groups borrow a real
+    # row, keeping their — never-read — tiles frame-pure)
+    first_idx = jnp.clip(starts, 0, E - 1)
+    anchor = order[first_idx]                         # (mem,)
+    aslot = ss[first_idx]
+
+    # defaults for pad rows / tail tiles, then scatter the real rows
+    d_idx = jnp.arange(Es, dtype=jnp.int32)
+    g_of = jnp.clip(jnp.searchsorted(cum_pad, d_idx, side="right"),
+                    0, mem - 1)
+    perm = anchor[g_of].at[dest].set(order)
+    inv = jnp.zeros((E,), jnp.int32).at[order].set(dest)
+    t_idx = jnp.arange(Es // TILE, dtype=jnp.int32) * TILE
+    g_of_t = jnp.clip(jnp.searchsorted(cum_pad, t_idx, side="right"),
+                      0, mem - 1)
+    tile_frame = aslot[g_of_t]
+    return perm, inv, tile_frame
+
+
 def corr_grouped(gmap, fmap_padded, coords, kidx, tile_frame,
                  interpret=False):
     """Convenience wrapper: gathers gmap rows then runs the kernel.

@@ -104,6 +104,26 @@ def group_meta(ids):
     return perm, inv_perm, start, end
 
 
+def group_meta_device(ids):
+    """Device twin of ``group_meta``: sort metadata for sorted-segment
+    ops, computed inside the update program (a 12k argsort costs ~40us
+    on TPU; the host version costs a thread sort + an upload RPC).
+
+    ids (E,) int32 -> (perm, inv_perm, start, end) int32, matching
+    ``group_meta`` bit-for-bit.
+    """
+    E = ids.shape[0]
+    idx = jnp.arange(E, dtype=jnp.int32)
+    perm = jnp.argsort(ids, stable=True).astype(jnp.int32)
+    s = ids[perm]
+    new_grp = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+    last = jnp.concatenate([new_grp[1:], jnp.ones((1,), bool)])
+    start = jax.lax.cummax(jnp.where(new_grp, idx, -1))
+    end = jnp.flip(jax.lax.cummin(jnp.flip(jnp.where(last, idx, E))))
+    inv_perm = jnp.zeros((E,), jnp.int32).at[perm].set(idx)
+    return perm, inv_perm, start.astype(jnp.int32), end.astype(jnp.int32)
+
+
 def compactify(ix, size, fill=jnp.iinfo(jnp.int32).max):
     """Static-shape analogue of ``torch.unique(ix, return_inverse=True)``.
 

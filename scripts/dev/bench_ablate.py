@@ -67,10 +67,8 @@ run("track only", no_append)
 def no_ba(s):
     orig = s._call_update_step
 
-    def wrapped(ds, ii_d, jj_d, kk_d, valid, t0, t1, run_ba, corr,
-                agg_meta, nbrs, mm=None):
-        return orig(ds, ii_d, jj_d, kk_d, valid, t0, t1, False, corr,
-                    agg_meta, nbrs, mm)
+    def wrapped(ds, bucket, t0, t1, run_ba, mm_blob=None):
+        return orig(ds, bucket, t0, t1, False, mm_blob)
 
     s._call_update_step = wrapped
 
@@ -80,14 +78,7 @@ run("corr XLA", lambda s: setattr(s, "use_pallas", False))
 
 
 def no_mm(s):
-    orig = s._update_metadata
-
-    def wrapped(bucket):
-        a, b, c, d, _mm = orig(bucket)
-        s._mm_tcand = None
-        return a, b, c, d, None
-
-    s._update_metadata = wrapped
+    s._mm_blob = lambda: None
     s._keyframe_apply = lambda m, tcand: None
 
 

@@ -75,60 +75,38 @@ for name, fn in [("track_frame", run_track)]:
         ts.append(time.perf_counter() - t0)
     p(f"{name}: {1e3*np.median(ts):.1f}ms")
 
-# 2. update_step (both backends)
+# 2/3. update_step_dev (both backends, with/without BA) — all per-update
+# metadata is computed in-program from the device edge tables
 bucket = slam._edge_bucket()
-((ii_d, jj_d, kk_d, valid), agg_meta, corr_meta, nbrs,
- _mm) = slam._update_metadata(bucket)
-t0v, t1v = jnp.int32(max(slam.n - cfg.OPTIMIZATION_WINDOW, 1)), \
-    jnp.int32(slam.n)
+t0v, t1v = np.int32(max(slam.n - cfg.OPTIMIZATION_WINDOW, 1)), \
+    np.int32(slam.n)
 
-for use_pallas in (True, False):
-    cm = corr_meta if use_pallas else (None, None, None)
+for use_pallas, run_ba in ((True, True), (False, True), (False, False)):
     kw = dict(update_mod=slam.update_mod, M=slam.M, pmem=slam.pmem,
               mem=slam.mem, n_cap=slam.n_cap, k_cap=slam.k_cap,
-              iterations=2, run_ba=True, use_pallas=use_pallas,
-              corr_perm=cm[0], corr_inv=cm[1], tile_frame=cm[2],
-              agg_meta=agg_meta, nbrs=nbrs)
-    outs = kernels.update_step(
-        slam.params_update, ds.poses, ds.patches, ds.intrinsics,
-        ds.imap, ds.gmap, ds.fmap1, ds.fmap2,
-        ds.net, ds.target, ds.weight, ii_d, jj_d, kk_d, valid,
-        t0v, t1v, **kw)
+              bucket=bucket, iterations=2, run_ba=run_ba,
+              use_pallas=use_pallas, has_mm=False)
+
+    def call_us():
+        return kernels.update_step_dev(
+            slam.params_update, ds.poses, ds.patches, ds.intrinsics,
+            ds.imap, ds.gmap, ds.fmap1, ds.fmap2,
+            ds.net, ds.target, ds.weight,
+            ds.eii, ds.ejj, ds.ekk, np.int32(hs.e_num),
+            t0v, t1v, None, **kw)
+
+    outs = call_us()
     (ds.net, ds.target, ds.weight, _d, ds.poses, ds.patches, _m) = outs
     ts = []
     for _ in range(10):
         t0 = time.perf_counter()
-        outs = kernels.update_step(
-            slam.params_update, ds.poses, ds.patches, ds.intrinsics,
-            ds.imap, ds.gmap, ds.fmap1, ds.fmap2,
-            ds.net, ds.target, ds.weight, ii_d, jj_d, kk_d, valid,
-            t0v, t1v, **kw)
+        outs = call_us()
         jax.block_until_ready(outs)
-        (ds.net, ds.target, ds.weight, _d, ds.poses, ds.patches, _m) = outs
+        (ds.net, ds.target, ds.weight, _d, ds.poses, ds.patches,
+         _m) = outs
         ts.append(time.perf_counter() - t0)
-    p(f"update_step(pallas={use_pallas}) bucket={bucket}: "
-      f"{1e3*np.median(ts):.1f}ms")
-
-# 3. update_step without BA
-kw["run_ba"] = False
-outs = kernels.update_step(
-    slam.params_update, ds.poses, ds.patches, ds.intrinsics,
-    ds.imap, ds.gmap, ds.fmap1, ds.fmap2,
-    ds.net, ds.target, ds.weight, ii_d, jj_d, kk_d, valid,
-    t0v, t1v, **kw)
-(ds.net, ds.target, ds.weight, _d, ds.poses, ds.patches, _m) = outs
-ts = []
-for _ in range(10):
-    t0 = time.perf_counter()
-    outs = kernels.update_step(
-        slam.params_update, ds.poses, ds.patches, ds.intrinsics,
-        ds.imap, ds.gmap, ds.fmap1, ds.fmap2,
-        ds.net, ds.target, ds.weight, ii_d, jj_d, kk_d, valid,
-        t0v, t1v, **kw)
-    jax.block_until_ready(outs)
-    (ds.net, ds.target, ds.weight, _d, ds.poses, ds.patches, _m) = outs
-    ts.append(time.perf_counter() - t0)
-p(f"update_step(no BA, xla corr): {1e3*np.median(ts):.1f}ms")
+    p(f"update_step_dev(pallas={use_pallas}, ba={run_ba}) "
+      f"bucket={bucket}: {1e3*np.median(ts):.1f}ms")
 
 # 4. flowmag_pair (motionmag building block)
 i, j = slam.n - cfg.KEYFRAME_INDEX - 1, slam.n - cfg.KEYFRAME_INDEX + 1
@@ -142,17 +120,18 @@ for _ in range(10):
     ts.append(time.perf_counter() - t0)
 p(f"motionmag steady: {1e3*np.median(ts):.1f}ms")
 
-# 5. permute_edges (remove_factors device part)
-perm = np.arange(slam.E_cap, dtype=np.int32)
+# 5. permute_edges_b (remove_factors device part, bucketed)
+perm = np.arange(bucket, dtype=np.int32)
 ts = []
 for _ in range(10):
     t0 = time.perf_counter()
-    ds.net, ds.target, ds.weight = kernels.permute_edges(
-        ds.net, ds.target, ds.weight, jnp.asarray(perm),
-        jnp.int32(hs.e_num))
+    (ds.net, ds.target, ds.weight, ds.eii, ds.ejj,
+     ds.ekk) = kernels.permute_edges_b(
+        ds.net, ds.target, ds.weight, ds.eii, ds.ejj, ds.ekk,
+        perm, np.int32(hs.e_num), bucket=bucket)
     jax.block_until_ready(ds.net)
     ts.append(time.perf_counter() - t0)
-p(f"permute_edges full-cap: {1e3*np.median(ts):.1f}ms")
+p(f"permute_edges_b bucket={bucket}: {1e3*np.median(ts):.1f}ms")
 
 # 6. compact_frames
 outs = kernels.compact_frames(

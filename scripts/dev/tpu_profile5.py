@@ -35,9 +35,7 @@ p(f"steady state: edges={slam.hs.e_num} n={slam.n}")
 ds, hs = slam.ds, slam.hs
 bucket = slam._edge_bucket()
 p(f"bucket={bucket}")
-((ii_d, jj_d, kk_d, valid), agg_meta, corr, nbrs, mm) = \
-    slam._update_metadata(bucket)
-jax.block_until_ready(ii_d)
+mm_blob = slam._mm_blob()
 
 REPS = 20
 
@@ -63,19 +61,18 @@ state = [ds.net, ds.target, ds.weight, ds.poses, ds.patches]
 def make_us(run_ba, use_pallas, with_mm):
     def call():
         net, tgt, wgt, poses, patches = state
-        out = kernels.update_step(
+        out = kernels.update_step_dev(
             slam.params_update, poses, patches, ds.intrinsics,
             ds.imap, ds.gmap, ds.fmap1, ds.fmap2,
-            net, tgt, wgt, ii_d, jj_d, kk_d, valid,
+            net, tgt, wgt, ds.eii, ds.ejj, ds.ekk,
+            np.int32(hs.e_num),
             np.int32(max(slam.n - cfg.OPTIMIZATION_WINDOW, 1)),
-            np.int32(slam.n),
+            np.int32(slam.n), mm_blob if with_mm else None,
             update_mod=slam.update_mod, M=slam.M, pmem=slam.pmem,
             mem=slam.mem, n_cap=slam.n_cap, k_cap=slam.k_cap,
-            iterations=2, run_ba=run_ba, use_pallas=use_pallas,
-            corr_perm=corr[0] if use_pallas else None,
-            corr_inv=corr[1] if use_pallas else None,
-            tile_frame=corr[2] if use_pallas else None,
-            agg_meta=agg_meta, nbrs=nbrs, mm=mm if with_mm else None)
+            bucket=bucket, iterations=2, run_ba=run_ba,
+            use_pallas=use_pallas,
+            has_mm=with_mm and mm_blob is not None)
         state[0], state[1], state[2] = out[0], out[1], out[2]
         state[3], state[4] = out[4], out[5]
         return out
@@ -129,28 +126,37 @@ timeit("compact_frames", compact)
 (ds.poses, ds.patches, ds.intrinsics, ds.colors, ds.imap, ds.gmap,
  ds.fmap1, ds.fmap2) = cf_state
 
-# --- permute_edges + zero_rows ---
-perm = np.random.default_rng(1).permutation(cfg.EDGE_CAPACITY)\
-    .astype(np.int32)
-pe_state = [ds.net, ds.target, ds.weight]
+# --- bucketed permute ---
+perm = np.random.default_rng(1).permutation(bucket).astype(np.int32)
+pe_state = [ds.net, ds.target, ds.weight, ds.eii, ds.ejj, ds.ekk]
 
 
 def permute():
-    out = kernels.permute_edges(*pe_state, jnp.asarray(perm),
-                                np.int32(hs.e_num))
+    out = kernels.permute_edges_b(*pe_state, perm, np.int32(hs.e_num),
+                                  bucket=bucket)
     pe_state[:] = out
     return out
 
 
-timeit("permute_edges (full cap)", permute)
-ds.net, ds.target, ds.weight = pe_state
+timeit("permute_edges_b (bucket)", permute)
+(ds.net, ds.target, ds.weight, ds.eii, ds.ejj, ds.ekk) = pe_state
 
 
-def zrows():
-    return kernels.zero_rows(ds.net, np.int32(0), np.int32(192))
+# --- append_edges ---
+ae_state = [ds.eii, ds.ejj, ds.ekk, ds.net]
 
 
-timeit("zero_rows", zrows)
+def append():
+    out = kernels.append_edges(ae_state[0], ae_state[1], ae_state[2],
+                               ae_state[3],
+                               np.zeros(2 * 4096, np.int32),
+                               np.int32(100), M=slam.M, chunk=4096)
+    ae_state[:] = out
+    return out
+
+
+timeit("append_edges chunk=4096", append)
+ds.eii, ds.ejj, ds.ekk, ds.net = ae_state
 
 # --- split_blob upload (metadata) ---
 blob = np.zeros(bucket * 15 + 8 * 256, np.int32)

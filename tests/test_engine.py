@@ -134,3 +134,55 @@ def test_loop_closure_global_ba_path():
     assert slam.ran_global_ba[:slam.n + 1].any()
     poses, _ = slam.terminate()
     assert np.isfinite(poses).all()
+
+
+def test_deferred_removal_compose_across_bucket_shrink():
+    """Two deferred removals whose second bucket is SMALLER than the
+    first: the composed permutation must keep referencing rows from the
+    first (larger) bucket, and the flushed device tables must match the
+    host bookkeeping row for row (regression: the composed perm was
+    truncated to the smaller bucket, clamping gathers out of range)."""
+    import jax.numpy as jnp
+    from dpvo_tpu.engine import kernels
+
+    cfg = TINY.replace(EDGE_CAPACITY=4096, BUFFER_SIZE=256,
+                       PATCHES_PER_FRAME=16)
+    slam = DPVO(cfg, network=None, ht=HT, wd=WD)
+    rng = np.random.default_rng(7)
+
+    E1 = 1100                      # bucket 2048
+    kk = rng.integers(0, 100 * 16, E1).astype(np.int32)
+    jj = rng.integers(0, 100, E1).astype(np.int32)
+    slam.append_factors(kk, jj)
+    # tag each live edge's hidden row with its index so gathers are
+    # observable
+    tag = jnp.arange(cfg.EDGE_CAPACITY, dtype=jnp.float32)[:, None]
+    slam.ds.net = slam.ds.net * 0 + tag
+    slam.ds.target = slam.ds.target * 0 + tag
+
+    mask1 = np.zeros(E1, bool)
+    mask1[rng.choice(E1, 200, replace=False)] = True   # -> 900 live
+    slam.remove_factors(mask1, store=False)
+    assert slam._pending_perm is not None              # deferred
+    e2 = slam.hs.e_num
+    mask2 = np.zeros(e2, bool)
+    mask2[rng.choice(e2, 100, replace=False)] = True   # bucket 1024
+    slam.remove_factors(mask2, store=False)
+    slam._flush_edge_permute()
+
+    e = slam.hs.e_num
+    assert e == E1 - 300
+    np.testing.assert_array_equal(np.asarray(slam.ds.eii[:e]),
+                                  slam.hs.ii[:e])
+    np.testing.assert_array_equal(np.asarray(slam.ds.ejj[:e]),
+                                  slam.hs.jj[:e])
+    np.testing.assert_array_equal(np.asarray(slam.ds.ekk[:e]),
+                                  slam.hs.kk[:e])
+    # net/target rows moved with their edges: surviving edge originally
+    # at row r carries tag r
+    keep1 = np.nonzero(~mask1)[0]
+    keep_rows = keep1[np.nonzero(~mask2)[0]]
+    np.testing.assert_array_equal(
+        np.asarray(slam.ds.net[:e, 0]).astype(np.int64), keep_rows)
+    np.testing.assert_array_equal(
+        np.asarray(slam.ds.target[:e, 0]).astype(np.int64), keep_rows)

@@ -74,10 +74,18 @@ class OracleDPVO(DPVO):
         patches_gt[:, 2] = self.gt_depth[:, None, None]
         return jnp.asarray(poses_gt_buf), jnp.asarray(patches_gt)
 
-    def _call_update_step(self, ds, ii_d, jj_d, kk_d, valid, t0, t1,
-                          run_ba, corr, agg_meta, nbrs, mm=None):
+    def _call_update_step(self, ds, bucket, t0, t1, run_ba, mm_blob=None):
         from dpvo_tpu.ops import ba as ba_ops
         gt_poses_buf, gt_patches = self._gt_buffers()
+        hs = self.hs
+        e = hs.e_num
+        ii_d = jnp.asarray(np.where(np.arange(bucket) < e,
+                                    hs.ii[:bucket], 0), jnp.int32)
+        jj_d = jnp.asarray(np.where(np.arange(bucket) < e,
+                                    hs.jj[:bucket], 0), jnp.int32)
+        kk_d = jnp.asarray(np.where(np.arange(bucket) < e,
+                                    hs.kk[:bucket], 0), jnp.int32)
+        valid = jnp.asarray(np.arange(bucket) < e)
         ii_s = jnp.where(valid, ii_d, 0)
         jj_s = jnp.where(valid, jj_d, 0)
         kk_s = jnp.where(valid, kk_d, 0)
@@ -97,8 +105,10 @@ class OracleDPVO(DPVO):
         target_tab = ds.target.at[:E].set(target)
         weight_tab = ds.weight.at[:E].set(weight)
         mag = None
-        if mm is not None:
-            mag = kernels.flowmag_two(poses, patches, ds.intrinsics, *mm)
+        if mm_blob is not None:
+            mag = kernels.flowmag_two_blob(poses, patches, ds.intrinsics,
+                                           mm_blob,
+                                           cap=len(mm_blob) // 8)
         return (net_tab, target_tab, weight_tab,
                 jnp.zeros((E, 2)), poses, patches, mag)
 

@@ -114,3 +114,35 @@ def test_neighbors_host_matches_device():
                                  jnp.asarray(valid))
     np.testing.assert_array_equal(ix_h, np.asarray(ix_d))
     np.testing.assert_array_equal(jx_h, np.asarray(jx_d))
+
+
+def test_group_meta_device_matches_host():
+    """Device sort metadata == host numpy version bit-for-bit."""
+    rng = np.random.default_rng(3)
+    for E in (6, 97, 512):
+        ids = rng.integers(-1, 25, E).astype(np.int32)
+        h = scatter.group_meta(ids)
+        d = jax.jit(scatter.group_meta_device)(jnp.asarray(ids))
+        for a, b, name in zip(h, d, ("perm", "inv", "start", "end")):
+            np.testing.assert_array_equal(a, np.asarray(b), err_msg=name)
+
+
+def test_corr_grouping_device_matches_host_semantics():
+    """Device corr grouping: same invariants as the host version —
+    every edge exactly once at its inv position, frame-pure tiles."""
+    from dpvo_tpu.ops.corr_pallas import corr_grouping_device, TILE
+
+    rng = np.random.default_rng(4)
+    mem = 12
+    for E in (64, 256):
+        jj = rng.integers(0, 40, E).astype(np.int32)
+        perm, inv, tf = jax.jit(
+            corr_grouping_device, static_argnums=1)(jnp.asarray(jj), mem)
+        perm, inv, tf = np.asarray(perm), np.asarray(inv), np.asarray(tf)
+        Es = E + mem * TILE
+        assert len(perm) == Es and len(tf) == Es // TILE
+        np.testing.assert_array_equal(perm[inv], np.arange(E))
+        slots = jj % mem
+        for t in range(Es // TILE):
+            rows = perm[t * TILE:(t + 1) * TILE]
+            assert (slots[rows] == tf[t]).all(), t
