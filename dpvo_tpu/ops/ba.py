@@ -123,7 +123,6 @@ def ba_iterative(poses, patches, intrinsics, target, weight, lmbda,
     # compact the touched patch set to k_cap slots (cuda: torch::_unique)
     kk_m = jnp.where(valid, kk, _INT_MAX)
     kx, ku = scatter.compactify(kk_m, size=k_cap)
-    k_real = kx != _INT_MAX                                 # (k_cap,)
 
     def iteration(_, state):
         poses, patches = state
@@ -204,16 +203,20 @@ def ba_iterative(poses, patches, intrinsics, target, weight, lmbda,
                         dX_blocks[jnp.clip(lp, 0, n_cap - 1)], 0.0)
         poses = jnp.where(free[:, None], lie.se3_retr(poses, dxi), poses)
 
-        # patch retraction (patch_retr_kernel cu:209-228)
+        # patch retraction (patch_retr_kernel cu:209-228).  TPU row
+        # scatters serialize (~1.2 ms for 2k rows at this scale), so the
+        # update is a GATHER: kx is sorted (compactify), so every patch
+        # row finds its compact slot via searchsorted and blends densely.
         kx_c = jnp.clip(kx, 0, patches.shape[0] - 1)
-        d_old = patches[kx_c, 2, 0, 0]
-        d_new = d_old + dZ
+        d_new = patches[kx_c, 2, 0, 0] + dZ
         d_new = jnp.where(d_new > 20.0, 1.0, d_new)
         d_new = jnp.maximum(d_new, 1e-4)
-        d_new = jnp.where(k_real, d_new, d_old)
-        patches = patches.at[kx_c, 2].set(
-            jnp.broadcast_to(d_new[:, None, None], (k_cap, P, P)),
-            mode="drop")
+        krange = jnp.arange(patches.shape[0], dtype=jnp.int32)
+        pos = jnp.clip(jnp.searchsorted(kx, krange), 0, k_cap - 1)
+        hit = kx[pos] == krange                              # (K,)
+        depth = jnp.where(hit[:, None, None],
+                          d_new[pos][:, None, None], patches[:, 2])
+        patches = patches.at[:, 2].set(depth)
 
         return poses, patches
 

@@ -1,0 +1,40 @@
+"""Persistent XLA compilation cache setup.
+
+The engine's bucketed static shapes compile to a few dozen XLA programs;
+on backends with a remote/serialized compiler (e.g. a tunneled TPU) a
+cold process pays minutes of compile time before the first tracked
+frame.  JAX's persistent compilation cache removes that cost across
+processes (measured here: 9.4 s -> 0.05 s for a re-used program), so
+every CLI entry point opts in by default.
+
+Env overrides:
+  DPVO_COMPILE_CACHE       cache directory ("" or "0" disables)
+  (default: ~/.cache/dpvo_tpu/xla)
+"""
+from __future__ import annotations
+
+import os
+
+
+def enable_persistent_cache(path: str | None = None) -> str | None:
+    """Point jax at a persistent compilation cache directory.
+
+    Call BEFORE the first jit dispatch (safe anytime; earlier catches
+    more programs).  Returns the directory used, or None when disabled.
+    """
+    import jax
+
+    if path is None:
+        path = os.environ.get("DPVO_COMPILE_CACHE")
+    if path is None:
+        path = os.path.join(os.path.expanduser("~"), ".cache",
+                            "dpvo_tpu", "xla")
+    if path in ("", "0", "off", "none"):
+        return None
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # cache every program: dispatch-time lookup is microseconds while
+    # even trivial programs cost seconds through a remote compiler
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    return path

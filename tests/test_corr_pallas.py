@@ -25,24 +25,26 @@ def make_case(E=32, F=3, H=24, W=32, C=128, seed=0):
     return gmap, fmap, coords, kidx, fidx, tf
 
 
-def test_matches_xla_reference():
+@pytest.mark.parametrize("version", [1, 3])
+def test_matches_xla_reference(version):
     gmap, fmap, coords, kidx, fidx, tf = make_case()
     ref = corr_ops.corr(gmap, fmap, coords, kidx, fidx, radius=3)
     out = cp.corr_grouped(gmap, cp.pad_fmap(fmap), coords, kidx, tf,
-                          interpret=True)
+                          interpret=True, version=version)
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-3, rtol=1e-3)
 
 
-def test_out_of_bounds_zeros():
+@pytest.mark.parametrize("version", [1, 3])
+def test_out_of_bounds_zeros(version):
     """Windows fully outside the frame must produce zeros (CUDA
     bounds-mask semantics)."""
     gmap, fmap, coords, kidx, fidx, tf = make_case()
     # push the first tile's coords far outside
     coords = coords.at[:cp.TILE].set(-500.0)
     out = cp.corr_grouped(gmap, cp.pad_fmap(fmap), coords, kidx, tf,
-                          interpret=True)
+                          interpret=True, version=version)
     np.testing.assert_allclose(np.asarray(out[:cp.TILE]), 0.0)
     # and matches the reference on those edges too
     ref = corr_ops.corr(gmap, fmap, coords, kidx, fidx, radius=3)
@@ -50,7 +52,8 @@ def test_out_of_bounds_zeros():
                                atol=1e-3)
 
 
-def test_border_windows_match():
+@pytest.mark.parametrize("version", [1, 3])
+def test_border_windows_match(version):
     """Partially overlapping windows at the image border."""
     gmap, fmap, coords, kidx, fidx, tf = make_case()
     edge_coords = jnp.asarray(
@@ -59,6 +62,6 @@ def test_border_windows_match():
     coords = coords.at[:cp.TILE].set(edge_coords)
     ref = corr_ops.corr(gmap, fmap, coords, kidx, fidx, radius=3)
     out = cp.corr_grouped(gmap, cp.pad_fmap(fmap), coords, kidx, tf,
-                          interpret=True)
+                          interpret=True, version=version)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-3, rtol=1e-3)
