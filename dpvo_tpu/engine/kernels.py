@@ -187,16 +187,19 @@ def _corr_features_pallas(gmap_buf, fmap1_buf, fmap2_buf, coords2, kk_mod,
 
     corr_perm (Es,) sorts/pads edges into frame-contiguous TILE groups;
     corr_inv (E,) maps table rows back; tile_frame (Es//TILE,) gives the
-    fmap ring slot per tile."""
-    E = coords2.shape[0]
+    fmap ring slot per tile.
+    Returns the LAZY pair form consumed by ``models.update.CorrDense``
+    — (c1f, c2f, corr_inv), each (Es, 49*P2) — instead of the
+    interleaved (E, 882) array (whose materialization + row gather cost
+    ~2 ms at E=16k)."""
     C = gmap_buf.shape[-1]
+    Es = corr_perm.shape[0]
     coords_s = coords2[corr_perm]                        # (Es, 2, P, P)
     kk_s = kk_mod[corr_perm]
-    g_pre = gmap_buf[kk_s].reshape(corr_perm.shape[0], cp.P2, C)
+    g_pre = gmap_buf[kk_s].reshape(Es, cp.P2, C)
     c1 = cp.corr_pallas(g_pre, fmap1_buf, coords_s, tile_frame)
     c2 = cp.corr_pallas(g_pre, fmap2_buf, coords_s / 4.0, tile_frame)
-    feat = jnp.stack([c1, c2], axis=-1).reshape(corr_perm.shape[0], -1)
-    return feat[corr_inv]                                # (E, 882)
+    return c1.reshape(Es, -1), c2.reshape(Es, -1), corr_inv
 
 
 def _update_core(params, poses, patches_buf, intrinsics_buf,

@@ -23,6 +23,42 @@ from .blocks import GatedResidual, SoftAgg, grad_clip
 DIM = 384  # ref net.py:21
 
 
+class CorrDense(nn.Module):
+    """The corr encoder's first Dense layer, with a lazy two-level
+    input form.
+
+    Param tree is identical to ``nn.Dense`` (kernel (2*49*p*p, DIM),
+    bias), so checkpoints are unaffected.  ``corr`` is either the
+    reference's interleaved (E, 2*49*p*p) feature array, or a tuple
+    (c1f, c2f, inv) of per-level (Es, 49*p*p) features over the
+    corr-sorted edge table: materializing + gathering the interleaved
+    array costs ~2 ms at E=16k (a (..., 2) minor-dim relayout plus an
+    (E, 882) row gather), while splitting the kernel's interleaved rows
+    is free and the gather shrinks to (E, DIM).
+    """
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, corr):
+        if isinstance(corr, tuple):
+            c1f, c2f, inv = corr
+            in_dim = 2 * c1f.shape[-1]
+        else:
+            in_dim = corr.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_dim, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        k = kernel.astype(self.dtype)
+        b = bias.astype(self.dtype)
+        if isinstance(corr, tuple):
+            y = (c1f.astype(self.dtype) @ k[0::2]
+                 + c2f.astype(self.dtype) @ k[1::2] + b)
+            return y[inv]
+        return corr.astype(self.dtype) @ k + b
+
+
 class Update(nn.Module):
     p: int = 3
     dtype: jnp.dtype = jnp.float32
@@ -47,8 +83,9 @@ class Update(nn.Module):
         dt = self.dtype
 
         net = net.astype(dt)
-        # corr encoder (ref net.py:49-56)
-        c = nn.Dense(DIM, dtype=dt, name="corr1")(corr.astype(dt))
+        # corr encoder (ref net.py:49-56); see CorrDense for the lazy
+        # two-level input form
+        c = CorrDense(DIM, dt, name="corr1")(corr)
         c = nn.relu(c)
         c = nn.Dense(DIM, dtype=dt, name="corr2")(c)
         c = nn.LayerNorm(epsilon=1e-3, dtype=dt, name="corr_norm")(c)

@@ -153,3 +153,34 @@ def test_update_bf16():
     # heads are fp32 even in bf16 mode
     assert delta.dtype == jnp.float32
     assert np.all(np.isfinite(np.asarray(delta)))
+
+
+def test_corr_dense_pair_path_matches_array():
+    """CorrDense's lazy two-level input (c1f, c2f, inv) over a padded
+    corr-sorted table must reproduce the interleaved-array path exactly
+    (same params: the kernel rows are split, not relearned)."""
+    import numpy as np
+    from dpvo_tpu.models.update import Update, DIM
+
+    um = Update(3, dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    E, Es = 8, 12
+    corr = jax.random.normal(key, (E, 2 * 49 * 9))
+    zi = jnp.zeros((E,), jnp.int32)
+    p = um.init(key, jnp.zeros((E, DIM)), jnp.zeros((E, DIM)), corr,
+                zi, zi, zi)
+    n1, d1, w1 = um.apply(p, jnp.zeros((E, DIM)), jnp.zeros((E, DIM)),
+                          corr, zi, zi, zi)
+    # scatter the E edges into a padded sorted table at arbitrary rows
+    rng = np.random.default_rng(3)
+    rows = rng.permutation(Es)[:E]
+    cint = np.zeros((Es, 441, 2), np.float32)
+    cint[rows] = np.asarray(corr).reshape(E, 441, 2)
+    inv = jnp.asarray(rows, jnp.int32)
+    n2, d2, w2 = um.apply(p, jnp.zeros((E, DIM)), jnp.zeros((E, DIM)),
+                          (jnp.asarray(cint[:, :, 0]),
+                           jnp.asarray(cint[:, :, 1]), inv),
+                          zi, zi, zi)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
