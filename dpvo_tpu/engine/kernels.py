@@ -188,10 +188,10 @@ def _corr_features_pallas(gmap_buf, fmap1_buf, fmap2_buf, coords2, kk_mod,
     corr_perm (Es,) sorts/pads edges into frame-contiguous TILE groups;
     corr_inv (E,) maps table rows back; tile_frame (Es//TILE,) gives the
     fmap ring slot per tile.
-    Returns the LAZY pair form consumed by ``models.update.CorrDense``
-    — (c1f, c2f, corr_inv), each (Es, 49*P2) — instead of the
-    interleaved (E, 882) array (whose materialization + row gather cost
-    ~2 ms at E=16k)."""
+    (A lazy pair form feeding CorrDense's split-kernel path was tried
+    and measured 2.2 ms SLOWER at E=16k than materializing the
+    interleaved array — XLA lays out the two (Es, 441) matmuls worse
+    than one fused interleave + (E, 882) matmul.)"""
     C = gmap_buf.shape[-1]
     Es = corr_perm.shape[0]
     coords_s = coords2[corr_perm]                        # (Es, 2, P, P)
@@ -199,7 +199,8 @@ def _corr_features_pallas(gmap_buf, fmap1_buf, fmap2_buf, coords2, kk_mod,
     g_pre = gmap_buf[kk_s].reshape(Es, cp.P2, C)
     c1 = cp.corr_pallas(g_pre, fmap1_buf, coords_s, tile_frame)
     c2 = cp.corr_pallas(g_pre, fmap2_buf, coords_s / 4.0, tile_frame)
-    return c1.reshape(Es, -1), c2.reshape(Es, -1), corr_inv
+    feat = jnp.stack([c1, c2], axis=-1).reshape(Es, -1)
+    return feat[corr_inv]                                # (E, 882)
 
 
 def _update_core(params, poses, patches_buf, intrinsics_buf,
@@ -437,7 +438,28 @@ def compact_frames(poses, patches_buf, intrinsics_buf, colors_buf,
         pmem * M, -1)
     gmap_buf = gmap_buf.reshape(pmem, M, P, P, -1)[ring_src_p].reshape(
         pmem * M, P, P, -1)
-    fmap1_buf = fmap1_buf[ring_src_m]
+
+    # fmap1 is ~220MB at 480p with mem=36: a full-table gather costs
+    # ~1.2 ms, while only <= shift_cap slots actually move.  Shift them
+    # with dynamic slice copies in ascending order (each slot is read
+    # before it is overwritten).
+    def shift_ring(buf):
+        tail = (0,) * (buf.ndim - 1)
+        row_shape = (1,) + buf.shape[1:]
+        msz = buf.shape[0]
+
+        def body(o, b):
+            i = k + o
+            src = (i + 1) % msz
+            dst = i % msz
+            row = jax.lax.dynamic_slice(b, (src,) + tail, row_shape)
+            keep = jax.lax.dynamic_slice(b, (dst,) + tail, row_shape)
+            row = jnp.where(i < n - 1, row, keep)
+            return jax.lax.dynamic_update_slice(b, row, (dst,) + tail)
+
+        return jax.lax.fori_loop(0, shift_cap, body, buf)
+
+    fmap1_buf = shift_ring(fmap1_buf)
     fmap2_buf = fmap2_buf[ring_src_m]
 
     return (poses, patches_buf, intrinsics_buf, colors_buf,
