@@ -24,39 +24,42 @@ DIM = 384  # ref net.py:21
 
 
 class CorrDense(nn.Module):
-    """The corr encoder's first Dense layer, with a lazy two-level
+    """The corr encoder's first Dense layer, with a lazy raw-layout
     input form.
 
     Param tree is identical to ``nn.Dense`` (kernel (2*49*p*p, DIM),
     bias), so checkpoints are unaffected.  ``corr`` is either the
     reference's interleaved (E, 2*49*p*p) feature array, or a tuple
-    (c1f, c2f, inv) of per-level (Es, 49*p*p) features over the
-    corr-sorted edge table: materializing + gathering the interleaved
-    array costs ~2 ms at E=16k (a (..., 2) minor-dim relayout plus an
-    (E, 882) row gather), while splitting the kernel's interleaved rows
-    is free and the gather shrinks to (E, DIM).
+    ``("raw", feat, inv)`` where ``feat`` (Es, 2*49*p*p) carries the
+    Pallas kernel's untransposed (level, p, dy, dx) feature order over
+    the corr-sorted edge table; kernel ROWS are reordered to match
+    (matmul row reindexing is exact).
+
+    Measured note: the engine uses the ARRAY form — both lazy variants
+    (two-level split and raw layout) benched ~2 ms SLOWER at E=16k
+    than materializing the interleaved array, because XLA fuses the
+    transpose+interleave+gather chain better than it lays out matmuls
+    reading Pallas outputs directly.  The raw form is kept (tested) for
+    layout experiments.
     """
     features: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, corr):
-        if isinstance(corr, tuple):
-            c1f, c2f, inv = corr
-            in_dim = 2 * c1f.shape[-1]
-        else:
-            in_dim = corr.shape[-1]
+        raw = isinstance(corr, tuple)
+        in_dim = corr[1].shape[-1] if raw else corr.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (in_dim, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
-        k = kernel.astype(self.dtype)
         b = bias.astype(self.dtype)
-        if isinstance(corr, tuple):
-            y = (c1f.astype(self.dtype) @ k[0::2]
-                 + c2f.astype(self.dtype) @ k[1::2] + b)
-            return y[inv]
-        return corr.astype(self.dtype) @ k + b
+        if raw:
+            from ..ops.corr_pallas import raw_to_ref_perm
+            _, feat, inv = corr
+            k = kernel[jnp.asarray(raw_to_ref_perm())].astype(self.dtype)
+            return (feat.astype(self.dtype) @ k + b)[inv]
+        return corr.astype(self.dtype) @ kernel.astype(self.dtype) + b
 
 
 class Update(nn.Module):

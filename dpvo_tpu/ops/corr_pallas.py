@@ -139,9 +139,32 @@ def _kernel_v3(tile_frame_ref, x0_ref, y0_ref, ri_ref, dx_ref, dy_ref,
                                     axis=1)                    # (7, 7)
 
 
-@partial(jax.jit, static_argnames=("interpret", "version"))
+RAW_DIM = P2 * (D - 1) * (D - 1)   # per-level feature dim (441)
+
+
+def raw_to_ref_perm():
+    """Row permutation mapping the kernel's raw (level, p, dy, dx)
+    feature order to the reference's interleaved
+    (dx, dy, py, px, level) order: W[raw_to_ref_perm()] applied to the
+    corr1 kernel makes a raw-ordered feature vector equivalent to the
+    reference-ordered one (matmul row reindexing is exact)."""
+    import numpy as np
+    ref = np.empty(2 * RAW_DIM, np.int32)
+    i = 0
+    for level in range(2):
+        for py in range(3):
+            for px in range(3):
+                for dy in range(D - 1):
+                    for dx in range(D - 1):
+                        ref[i] = (((dx * (D - 1) + dy) * 3 + py) * 3
+                                  + px) * 2 + level
+                        i += 1
+    return ref
+
+
+@partial(jax.jit, static_argnames=("interpret", "version", "raw"))
 def corr_pallas(g_pre, fmap_padded, coords, tile_frame, interpret=False,
-                version=3):
+                version=3, raw=False):
     """Correlation for jj-grouped edges.
 
     g_pre       (E, 9, C) patch feature rows (gmap[kidx] flattened)
@@ -149,7 +172,9 @@ def corr_pallas(g_pre, fmap_padded, coords, tile_frame, interpret=False,
     coords      (E, 2, 3, 3) float pixel coords (unpadded frame coords)
     tile_frame  (E // TILE,) int32 frame id per tile of TILE edges
     -> (E, 7, 7, 3, 3) fp32 ordered [x_off, y_off, py, px] like the
-       reference (correlation_kernel.cu:233 permute).
+       reference (correlation_kernel.cu:233 permute); with ``raw=True``
+       the kernel-native (E, 9, 7, 7) [p, dy, dx] layout is returned
+       untransposed (see raw_to_ref_perm).
     """
     E, _, C = g_pre.shape
     F, Hp, Wp, _ = fmap_padded.shape
@@ -198,6 +223,8 @@ def corr_pallas(g_pre, fmap_padded, coords, tile_frame, interpret=False,
     )(tile_frame, x0, by, ri, dx.astype(jnp.float32),
       dy.astype(jnp.float32), g_pre, fmap_padded)
 
+    if raw:
+        return out                                    # (E, 9, 7, 7)
     # (E, p, dy, dx) -> (E, x_off, y_off, py, px)
     out = out.reshape(E, 3, 3, D - 1, D - 1)
     return out.transpose(0, 4, 3, 1, 2)

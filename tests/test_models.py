@@ -155,12 +155,13 @@ def test_update_bf16():
     assert np.all(np.isfinite(np.asarray(delta)))
 
 
-def test_corr_dense_pair_path_matches_array():
-    """CorrDense's lazy two-level input (c1f, c2f, inv) over a padded
-    corr-sorted table must reproduce the interleaved-array path exactly
-    (same params: the kernel rows are split, not relearned)."""
+def test_corr_dense_raw_path_matches_array():
+    """CorrDense's lazy raw-layout input ("raw", feat, inv) over a
+    padded corr-sorted table must reproduce the interleaved-array path
+    exactly (same params: kernel ROWS are reordered, not relearned)."""
     import numpy as np
     from dpvo_tpu.models.update import Update, DIM
+    from dpvo_tpu.ops.corr_pallas import raw_to_ref_perm
 
     um = Update(3, dtype=jnp.float32)
     key = jax.random.PRNGKey(0)
@@ -171,16 +172,15 @@ def test_corr_dense_pair_path_matches_array():
                 zi, zi, zi)
     n1, d1, w1 = um.apply(p, jnp.zeros((E, DIM)), jnp.zeros((E, DIM)),
                           corr, zi, zi, zi)
-    # scatter the E edges into a padded sorted table at arbitrary rows
+    # rebuild the raw-order features: feat_raw[raw_i] = feat_ref[ref(raw_i)]
+    perm = raw_to_ref_perm()
     rng = np.random.default_rng(3)
     rows = rng.permutation(Es)[:E]
-    cint = np.zeros((Es, 441, 2), np.float32)
-    cint[rows] = np.asarray(corr).reshape(E, 441, 2)
+    feat = np.zeros((Es, 882), np.float32)
+    feat[rows] = np.asarray(corr)[:, perm]
     inv = jnp.asarray(rows, jnp.int32)
     n2, d2, w2 = um.apply(p, jnp.zeros((E, DIM)), jnp.zeros((E, DIM)),
-                          (jnp.asarray(cint[:, :, 0]),
-                           jnp.asarray(cint[:, :, 1]), inv),
-                          zi, zi, zi)
+                          ("raw", jnp.asarray(feat), inv), zi, zi, zi)
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
     np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
     np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
