@@ -26,14 +26,7 @@ __version__ = "0.1.0"
 # encoders, 49k-edge update step) take minutes to compile cold on TPU;
 # cached recompiles are near-instant.  Override dir with
 # DPVO_TPU_CACHE_DIR; disable with DPVO_TPU_CACHE_DIR="".
-import os as _os
+from dpvo_tpu.utils.compile_cache import enable_persistent_cache as \
+    _enable_persistent_cache
 
-_cache_dir = _os.environ.get(
-    "DPVO_TPU_CACHE_DIR",
-    _os.path.join(_os.path.expanduser("~"), ".cache", "dpvo_tpu_xla"))
-if _cache_dir:
-    import jax as _jax
-
-    _os.makedirs(_cache_dir, exist_ok=True)
-    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+_enable_persistent_cache()

@@ -63,7 +63,7 @@ class DPVO:
 
         self.ds = allocate(cfg, ht, wd, self.P, self.pmem, self.mem)
         self.hs = allocate_host(cfg)
-        self.E_cap = cfg.EDGE_CAPACITY
+        self.E_cap = cfg.edge_capacity()
 
         self._rng = jax.random.PRNGKey(seed)
         self.viewer = None

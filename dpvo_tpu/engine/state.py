@@ -87,7 +87,7 @@ def allocate(cfg: VOConfig, ht: int, wd: int, P: int = 3,
              pmem: int | None = None, mem: int = 36) -> DeviceState:
     N = cfg.BUFFER_SIZE
     M = cfg.PATCHES_PER_FRAME
-    E = cfg.EDGE_CAPACITY
+    E = cfg.edge_capacity()
     if pmem is None:
         pmem = cfg.MAX_EDGE_AGE if cfg.LOOP_CLOSURE else mem
     h, w = ht // 4, wd // 4
@@ -121,7 +121,7 @@ def allocate(cfg: VOConfig, ht: int, wd: int, P: int = 3,
 
 def allocate_host(cfg: VOConfig) -> HostState:
     N = cfg.BUFFER_SIZE
-    E = cfg.EDGE_CAPACITY
+    E = cfg.edge_capacity()
     hs = HostState()
     hs.tstamps = np.zeros((N,), np.int64)
     hs.ii = np.zeros((E,), np.int32)

@@ -34,7 +34,16 @@ _F32 = jnp.float32
 
 
 def _f32(*xs):
-    out = tuple(jnp.asarray(x, dtype=_F32) for x in xs)
+    """Promote to the compute dtype: float64 stays float64 (the reference
+    dispatches double kernels for double inputs — lietorch dispatch.h:36-44,
+    run_tests.py gradchecks run in double), everything else becomes float32
+    (the forced-fp32 discipline of group_ops.py:6-37 for half inputs)."""
+    def cast(x):
+        x = jnp.asarray(x)
+        if x.dtype == jnp.float64:
+            return x
+        return x.astype(_F32)
+    out = tuple(cast(x) for x in xs)
     return out if len(out) > 1 else out[0]
 
 
@@ -163,7 +172,7 @@ def so3_matrix(q):
     """SO3 as 4x4 homogeneous matrix (parity with lietorch .matrix())."""
     q = _f32(q)
     R = quat_to_matrix(q)
-    m = jnp.zeros(q.shape[:-1] + (4, 4), dtype=_F32)
+    m = jnp.zeros(q.shape[:-1] + (4, 4), dtype=q.dtype)
     m = m.at[..., :3, :3].set(R)
     return m.at[..., 3, 3].set(1.0)
 
@@ -274,7 +283,7 @@ def se3_matrix(g):
     """SE3 (..., 7) -> homogeneous 4x4 matrix."""
     g = _f32(g)
     R = quat_to_matrix(g[..., 3:7])
-    m = jnp.zeros(g.shape[:-1] + (4, 4), dtype=_F32)
+    m = jnp.zeros(g.shape[:-1] + (4, 4), dtype=g.dtype)
     m = m.at[..., :3, :3].set(R)
     m = m.at[..., :3, 3].set(g[..., :3])
     return m.at[..., 3, 3].set(1.0)
@@ -314,7 +323,7 @@ def se3_retr(g, xi):
 def se3_scale(g, s):
     """Scale translation part (lietorch SE3.scale, used for delta rescale)."""
     g = _f32(g)
-    return jnp.concatenate([g[..., :3] * jnp.asarray(s, _F32)[..., None],
+    return jnp.concatenate([g[..., :3] * jnp.asarray(s, g.dtype)[..., None],
                             g[..., 3:7]], axis=-1)
 
 
@@ -471,7 +480,7 @@ def sim3_act4(g, p4):
 def sim3_matrix(g):
     g = _f32(g)
     R = quat_to_matrix(g[..., 3:7]) * g[..., 7:8, None]
-    m = jnp.zeros(g.shape[:-1] + (4, 4), dtype=_F32)
+    m = jnp.zeros(g.shape[:-1] + (4, 4), dtype=g.dtype)
     m = m.at[..., :3, :3].set(R)
     m = m.at[..., :3, 3].set(g[..., :3])
     return m.at[..., 3, 3].set(1.0)
@@ -486,7 +495,7 @@ def sim3_adj_matrix(g):
     sR = s * R
     txR = _mm(skew(t), R)
     batch = g.shape[:-1]
-    A = jnp.zeros(batch + (7, 7), dtype=_F32)
+    A = jnp.zeros(batch + (7, 7), dtype=g.dtype)
     A = A.at[..., :3, :3].set(sR)
     A = A.at[..., :3, 3:6].set(txR)
     A = A.at[..., :3, 6].set(-t)

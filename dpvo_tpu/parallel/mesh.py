@@ -14,9 +14,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices=None, axis_name="dp"):
-    """1-D data-parallel mesh over the first n_devices."""
+    """1-D mesh over the first n_devices.
+
+    Raises if the host has fewer than ``n_devices`` devices — silently
+    truncating would let a multi-chip validation "pass" on a 1-device
+    mesh without testing any sharding.
+    """
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise RuntimeError(
+                f"make_mesh({n_devices}) but only {len(devs)} "
+                f"device(s) visible on backend "
+                f"{jax.default_backend()!r}")
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis_name,))
 

@@ -4,12 +4,13 @@ The engine's bucketed static shapes compile to a few dozen XLA programs;
 on backends with a remote/serialized compiler (e.g. a tunneled TPU) a
 cold process pays minutes of compile time before the first tracked
 frame.  JAX's persistent compilation cache removes that cost across
-processes (measured here: 9.4 s -> 0.05 s for a re-used program), so
-every CLI entry point opts in by default.
+processes (measured here: 9.4 s -> 0.05 s for a re-used program).
+``dpvo_tpu/__init__.py`` calls :func:`enable_persistent_cache` at import
+time, so every entry point opts in by default.
 
-Env overrides:
-  DPVO_COMPILE_CACHE       cache directory ("" or "0" disables)
-  (default: ~/.cache/dpvo_tpu/xla)
+Env override:
+  DPVO_TPU_CACHE_DIR   cache directory ("" or "0" disables)
+  (default: ~/.cache/dpvo_tpu_xla)
 """
 from __future__ import annotations
 
@@ -25,16 +26,15 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
     import jax
 
     if path is None:
-        path = os.environ.get("DPVO_COMPILE_CACHE")
+        path = os.environ.get("DPVO_TPU_CACHE_DIR")
     if path is None:
         path = os.path.join(os.path.expanduser("~"), ".cache",
-                            "dpvo_tpu", "xla")
+                            "dpvo_tpu_xla")
     if path in ("", "0", "off", "none"):
         return None
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
-    # cache every program: dispatch-time lookup is microseconds while
-    # even trivial programs cost seconds through a remote compiler
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    # only cache programs that took real compile time; sub-second
+    # programs recompile faster than a remote round trip anyway
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     return path

@@ -158,7 +158,10 @@ def test_update_bf16():
 def test_corr_dense_raw_path_matches_array():
     """CorrDense's lazy raw-layout input ("raw", feat, inv) over a
     padded corr-sorted table must reproduce the interleaved-array path
-    exactly (same params: kernel ROWS are reordered, not relearned)."""
+    (same params: kernel ROWS are reordered, not relearned).  The math
+    is an exact row reindexing, but the matmul accumulates in permuted
+    order over a different row count (Es vs E), so the comparison is a
+    tight allclose rather than bitwise (observed max diff ~9e-7)."""
     import numpy as np
     from dpvo_tpu.models.update import Update, DIM
     from dpvo_tpu.ops.corr_pallas import raw_to_ref_perm
@@ -181,6 +184,9 @@ def test_corr_dense_raw_path_matches_array():
     inv = jnp.asarray(rows, jnp.int32)
     n2, d2, w2 = um.apply(p, jnp.zeros((E, DIM)), jnp.zeros((E, DIM)),
                           ("raw", jnp.asarray(feat), inv), zi, zi, zi)
-    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
-    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
-    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(n1), np.asarray(n2),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2),
+                               atol=1e-5, rtol=1e-4)
