@@ -35,6 +35,15 @@ def main():
     import os
     timing = bool(os.environ.get("DPVO_TIMING"))
 
+    # compile every program the loop can dispatch BEFORE any tracked
+    # frame (parallel AOT + persistent cache): no XLA compile can land
+    # inside a timed window (VERDICT r1: a first-reach bucket compile
+    # stalled a capture for 610 s)
+    t_pc = time.perf_counter()
+    slam.precompile(max_edges=16384, verbose=timing)
+    print(f"precompile: {time.perf_counter() - t_pc:.0f}s",
+          file=sys.stderr, flush=True)
+
     rng = np.random.default_rng(0)
     base = rng.integers(0, 255, size=(ht, wd * 2, 3), dtype=np.uint8)
     intr = np.array([320.0, 320.0, 320.0, 240.0])
@@ -72,6 +81,10 @@ def main():
 
     import jax
     jax.block_until_ready(slam.ds.poses)
+    # margin: cover bucket drift past a boundary mid-capture (compiles
+    # the ladder neighbors of the steady-state bucket; all but the
+    # upper margins are already cached from the pre-warmup precompile)
+    slam.precompile(around=slam.hs.e_num, steps=2, verbose=timing)
     slam.enable_timing = timing
     slam.timing_block = False
 
@@ -98,12 +111,14 @@ def main():
             print(f"  {k:20s} {ms:8.2f} ms  x{cnt}", file=sys.stderr)
 
     windows.sort()
-    fps = windows[6]  # median of the top 5 of 9
+    fps = windows[6]       # median of the top 5 of 9 (noise-trimmed)
+    med = windows[4]       # plain median of all 9 (untrimmed)
     print(json.dumps({
         "metric": "vo_fps_480p",
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / 30.0, 3),
+        "median_fps": round(med, 2),
     }))
 
 

@@ -69,8 +69,10 @@ class VOConfig:
     # value is taken as-is (raises mid-run if it overflows).
     EDGE_CAPACITY: int = 0           # active edge table slots (0 = auto)
     EDGE_CAPACITY_INAC: int = 16384  # inactive (global-BA) edge slots
-    # patch/frame window capacity for local BA (frames)
-    BA_WINDOW_CAP: int = 28
+    # patch/frame window capacity for local BA (frames); 0 = auto-size
+    # from OPTIMIZATION_WINDOW (the local update never frees more poses
+    # than that — ref dpvo.py:351)
+    BA_WINDOW_CAP: int = 0
     # dtype used for feature ring buffers & network activations
     COMPUTE_DTYPE: str = "bfloat16"
     # correlation backend: auto (pallas on TPU, xla on CPU) | pallas | xla

@@ -81,8 +81,13 @@ class DPVO:
                                    cfg.replace(CLASSIC_LOOP_CLOSURE=False))
                 print(f"WARNING: classic loop closure unavailable: {e}")
 
-        # BA capacities (static shapes)
-        self.n_cap = cfg.BA_WINDOW_CAP
+        # BA capacities (static shapes).  The local update's free-pose
+        # window is at most OPTIMIZATION_WINDOW (ref dpvo.py:351), so the
+        # auto cap rounds that up to a power of two: the dense J_eff
+        # assembly in ba_iterative scales linearly with 6*n_cap (28 -> 16
+        # cut BA from ~6.0 to ~3.7 ms at the bench operating point).
+        self.n_cap = cfg.BA_WINDOW_CAP or (1 << math.ceil(math.log2(
+            max(cfg.OPTIMIZATION_WINDOW + 2, 8))))
         self.k_cap = 1 << math.ceil(math.log2(
             max((cfg.REMOVAL_WINDOW + 4) * self.M, 256)))
         self.ran_global_ba = np.zeros(100000, dtype=bool)
@@ -103,6 +108,11 @@ class DPVO:
         self._pending_perm = None
         self._last_mag = None
         self._mm_tcand = None
+        # test seams for cross-engine parity runs (tests/test_engine_parity):
+        # scripted centroids (counter -> (M, 2) float [x, y]) and a
+        # constant pre-init patch depth shared with the reference engine
+        self.test_centroids = None
+        self.test_fixed_depth = None
 
     # --- weights -----------------------------------------------------------
 
@@ -310,14 +320,33 @@ class DPVO:
         return kk, jj
 
     def _bucket_for(self, e):
-        """Bucket an edge count to {1, 1.5} * 2^k (a handful of compiled
-        bucket sizes instead of one giant program; the 1.5 step keeps
-        padding waste under 33%)."""
+        """Bucket an edge count to a ladder of compiled sizes: {1, 1.5}*2^k
+        below 8192 (few programs while the edge table grows), quarter
+        steps {1, 1.25, 1.5, 1.75}*2^k at or above (padding waste <= 12.5%
+        where a wasted slot costs real per-edge compute — at the default
+        operating point the ~13.8k steady state buckets to 14336 instead
+        of 16384)."""
         e = max(e, 1024)
         p2 = 1 << math.ceil(math.log2(e))
-        if 3 * (p2 // 4) >= e and (3 * (p2 // 4)) % 1024 == 0:
+        if p2 >= 16384:
+            for m in (4, 5, 6, 7):
+                c = m * (p2 // 8)
+                if c >= e:
+                    p2 = c
+                    break
+        elif 3 * (p2 // 4) >= e and (3 * (p2 // 4)) % 1024 == 0:
             p2 = 3 * (p2 // 4)
         return min(p2, self.E_cap)
+
+    def _bucket_ladder(self):
+        """All values ``_bucket_for`` can return, ascending."""
+        vals = set()
+        e = 1
+        while e <= self.E_cap:
+            vals.add(self._bucket_for(e))
+            e += 256
+        vals.add(self._bucket_for(self.E_cap))
+        return sorted(vals)
 
     def _edge_bucket(self):
         return self._bucket_for(self.hs.e_num)
@@ -355,6 +384,161 @@ class DPVO:
         perm[pos:] = order[0]
         tile_frame[pos // TILE:] = int(slots[order[0]])
         return perm, inv, tile_frame
+
+    def precompile(self, max_edges=None, around=None, steps=2,
+                   verbose=False):
+        """Compile every device program the steady tracking loop can
+        dispatch, BEFORE any timed frame (VERDICT r1: a first-reach
+        bucket compile through the remote compiler stalled a capture for
+        610 s).
+
+        Bucket set: ladder values <= _bucket_for(max_edges) when
+        ``max_edges`` is given, else the ladder neighbors within
+        ``steps`` positions of _bucket_for(around or the live edge
+        count) — call with ``around`` after warmup to cover drift past a
+        bucket boundary mid-capture.
+
+        Runs real dispatches on throwaway scratch state (jit executable
+        caches key on shapes/statics, so the live loop reuses them);
+        with the persistent compilation cache on, a later process pays
+        only ~0.05 s deserialization per program.
+        """
+        import time
+        cfg = self.cfg
+        ladder = self._bucket_ladder()
+        if max_edges is not None:
+            top = self._bucket_for(max_edges)
+            buckets = [b for b in ladder if b <= top]
+        else:
+            c = ladder.index(self._bucket_for(
+                around if around is not None else max(self.hs.e_num, 1)))
+            buckets = ladder[max(c - steps, 0):c + steps + 1]
+
+        sc = allocate(cfg, self.ht, self.wd, self.P, self.pmem, self.mem)
+        t_all = time.perf_counter()
+
+        # per-frame tracking program
+        t0 = time.perf_counter()
+        (sc.poses, sc.patches, sc.intrinsics, sc.colors, sc.imap,
+         sc.gmap, sc.fmap1, sc.fmap2) = kernels.track_frame_u8(
+            self.params_patchify, self.patchifier,
+            sc.poses, sc.patches, sc.intrinsics, sc.colors,
+            sc.imap, sc.gmap, sc.fmap1, sc.fmap2,
+            np.zeros((self.ht, self.wd, 3), np.uint8),
+            np.zeros((4,), np.float32), np.int32(0), np.float32(1.0),
+            np.bool_(False), self._rng,
+            M=self.M, pmem=self.pmem, mem=self.mem,
+            motion_damping=float(cfg.MOTION_DAMPING),
+            strat=cfg.CENTROID_SEL_STRAT, step=np.int32(0))
+        if verbose:
+            print(f"precompile track_frame: "
+                  f"{time.perf_counter() - t0:.1f}s", flush=True)
+
+        # keyframe-merge programs (tiny)
+        kernels.relative_pose(sc.poses, np.int32(1))
+        sc.eii, sc.ejj, sc.ekk = kernels.shift_edge_indices(
+            sc.eii, sc.ejj, sc.ekk, np.int32(1), M=self.M)
+        (sc.poses, sc.patches, sc.intrinsics, sc.colors, sc.imap,
+         sc.gmap, sc.fmap1, sc.fmap2) = kernels.compact_frames(
+            sc.poses, sc.patches, sc.intrinsics, sc.colors,
+            sc.imap, sc.gmap, sc.fmap1, sc.fmap2,
+            np.int32(1), np.int32(2), M=self.M, pmem=self.pmem,
+            mem=self.mem, shift_cap=cfg.KEYFRAME_INDEX + 3)
+        for chunk in (512, 1024, 2048, 4096):
+            if chunk > self.E_cap:
+                break
+            (sc.eii, sc.ejj, sc.ekk, sc.net) = kernels.append_edges(
+                sc.eii, sc.ejj, sc.ekk, sc.net,
+                np.zeros(2 * chunk, np.int32), np.int32(0), M=self.M,
+                chunk=chunk)
+
+        mm_cap = 256
+        run_bas = (True, False) if cfg.LOOP_CLOSURE else (True,)
+
+        # phase 1 — parallel AOT: the expensive update_step_dev variants
+        # compile concurrently (the remote compiler overlaps requests;
+        # measured ~2.3x with 3 threads) and land in the persistent
+        # compilation cache.  Phase 2's real dispatches then only pay
+        # ~0.05 s deserialization each while warming the jit call cache.
+        def _sds(x):
+            return jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype) \
+                if not hasattr(x, "dtype") else \
+                jax.ShapeDtypeStruct(x.shape, x.dtype)
+        p_sds = jax.tree.map(_sds, self.params_update)
+        i32 = jax.ShapeDtypeStruct((), np.int32)
+        base = (p_sds, _sds(sc.poses), _sds(sc.patches),
+                _sds(sc.intrinsics), _sds(sc.imap), _sds(sc.gmap),
+                _sds(sc.fmap1), _sds(sc.fmap2), _sds(sc.net),
+                _sds(sc.target), _sds(sc.weight), _sds(sc.eii),
+                _sds(sc.ejj), _sds(sc.ekk), i32, i32, i32)
+        blob_sds = jax.ShapeDtypeStruct((8 * mm_cap,), np.int32)
+
+        def _aot(job):
+            b, run_ba, has_mm = job
+            kw = dict(update_mod=self.update_mod, M=self.M,
+                      pmem=self.pmem, mem=self.mem, n_cap=self.n_cap,
+                      k_cap=self.k_cap, bucket=b, iterations=2,
+                      run_ba=run_ba, has_mm=has_mm,
+                      use_pallas=self.use_pallas)
+            kernels.update_step_dev.lower(
+                *base, blob_sds if has_mm else None, **kw).compile()
+
+        jobs = [(b, rb, hm) for b in buckets for rb in run_bas
+                for hm in (True, False)]
+        try:
+            t0 = time.perf_counter()
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=8) as ex:
+                list(ex.map(_aot, jobs))
+            if verbose:
+                print(f"precompile AOT x{len(jobs)}: "
+                      f"{time.perf_counter() - t0:.1f}s", flush=True)
+        except Exception as e:  # AOT is an optimization only
+            print(f"WARNING: parallel AOT precompile failed "
+                  f"({type(e).__name__}: {e}); compiling sequentially",
+                  flush=True)
+
+        for b in buckets:
+            t0 = time.perf_counter()
+            perm = np.arange(b, dtype=np.int32)
+            (sc.net, sc.target, sc.weight, sc.eii, sc.ejj, sc.ekk) = \
+                kernels.permute_edges_b(
+                    sc.net, sc.target, sc.weight, sc.eii, sc.ejj,
+                    sc.ekk, perm, np.int32(0), bucket=b)
+            for run_ba in run_bas:
+                for blob in (np.zeros(8 * mm_cap, np.int32), None):
+                    kw = dict(update_mod=self.update_mod, M=self.M,
+                              pmem=self.pmem, mem=self.mem,
+                              n_cap=self.n_cap, k_cap=self.k_cap,
+                              bucket=b, iterations=2, run_ba=run_ba,
+                              has_mm=blob is not None)
+                    args = (self.params_update, sc.poses, sc.patches,
+                            sc.intrinsics, sc.imap, sc.gmap, sc.fmap1,
+                            sc.fmap2, sc.net, sc.target, sc.weight,
+                            sc.eii, sc.ejj, sc.ekk, np.int32(0),
+                            np.int32(1), np.int32(2), blob)
+                    try:
+                        out = kernels.update_step_dev(
+                            *args, use_pallas=self.use_pallas, **kw)
+                    except Exception as e:
+                        if not self.use_pallas:
+                            raise
+                        print("WARNING: Pallas correlation backend "
+                              f"failed in precompile ({type(e).__name__}:"
+                              f" {e}); falling back to the XLA gather "
+                              "path", flush=True)
+                        self.use_pallas = False
+                        out = kernels.update_step_dev(
+                            *args, use_pallas=False, **kw)
+                    (sc.net, sc.target, sc.weight, _, sc.poses,
+                     sc.patches, _) = out
+            if verbose:
+                print(f"precompile bucket {b}: "
+                      f"{time.perf_counter() - t0:.1f}s", flush=True)
+        jax.block_until_ready(sc.poses)
+        if verbose:
+            print(f"precompile total: {time.perf_counter() - t_all:.1f}s",
+                  flush=True)
 
     def _mm_blob(self):
         """Keyframe motionmag edge slices, packed into one tiny int32
@@ -706,19 +890,37 @@ class DPVO:
         fac = (c - b) / (b - a) if (b - a) != 0 else 1.0
 
         t_tr = self._tick()
-        (ds.poses, ds.patches, ds.intrinsics, ds.colors, ds.imap, ds.gmap,
-         ds.fmap1, ds.fmap2) = kernels.track_frame_u8(
-            self.params_patchify, self.patchifier,
-            ds.poses, ds.patches, ds.intrinsics, ds.colors,
-            ds.imap, ds.gmap, ds.fmap1, ds.fmap2,
-            image if isinstance(image, jax.Array)
-            else np.ascontiguousarray(image, np.uint8),
-            np.asarray(intrinsics, np.float32) / self.RES,
-            np.int32(self.n), np.float32(fac),
-            np.bool_(self.is_initialized), self._rng,
-            M=self.M, pmem=self.pmem, mem=self.mem,
-            motion_damping=float(cfg.MOTION_DAMPING),
-            strat=cfg.CENTROID_SEL_STRAT, step=np.int32(hs.counter))
+        if self.test_centroids is None:
+            (ds.poses, ds.patches, ds.intrinsics, ds.colors, ds.imap,
+             ds.gmap, ds.fmap1, ds.fmap2) = kernels.track_frame_u8(
+                self.params_patchify, self.patchifier,
+                ds.poses, ds.patches, ds.intrinsics, ds.colors,
+                ds.imap, ds.gmap, ds.fmap1, ds.fmap2,
+                image if isinstance(image, jax.Array)
+                else np.ascontiguousarray(image, np.uint8),
+                np.asarray(intrinsics, np.float32) / self.RES,
+                np.int32(self.n), np.float32(fac),
+                np.bool_(self.is_initialized), self._rng,
+                M=self.M, pmem=self.pmem, mem=self.mem,
+                motion_damping=float(cfg.MOTION_DAMPING),
+                strat=cfg.CENTROID_SEL_STRAT, step=np.int32(hs.counter))
+        else:
+            # parity test seam: scripted centroids + constant depth init
+            img_n = 2.0 * (np.asarray(image, np.float32) / 255.0) - 0.5
+            coords = np.asarray(self.test_centroids(hs.counter),
+                                np.float32)
+            (ds.poses, ds.patches, ds.intrinsics, ds.colors, ds.imap,
+             ds.gmap, ds.fmap1, ds.fmap2) = kernels.track_frame(
+                self.params_patchify, self.patchifier,
+                ds.poses, ds.patches, ds.intrinsics, ds.colors,
+                ds.imap, ds.gmap, ds.fmap1, ds.fmap2,
+                img_n, coords,
+                np.asarray(intrinsics, np.float32) / self.RES,
+                np.int32(self.n), np.float32(fac),
+                np.bool_(self.is_initialized), self._rng,
+                M=self.M, pmem=self.pmem, mem=self.mem,
+                motion_damping=float(cfg.MOTION_DAMPING),
+                fixed_depth=self.test_fixed_depth)
         self._tock(t_tr, "track_frame")
 
         hs.counter += 1

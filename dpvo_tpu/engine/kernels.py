@@ -54,17 +54,20 @@ def process_frame(params, patchifier: Patchifier, image, coords):
 # state writes for a new frame
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("M", "pmem", "mem", "motion_damping"),
+@partial(jax.jit, static_argnames=("M", "pmem", "mem", "motion_damping",
+                                   "fixed_depth"),
          donate_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
 def write_frame(poses, patches_buf, intrinsics_buf, colors_buf,
                 imap_buf, gmap_buf, fmap1_buf, fmap2_buf,
                 fmap1, fmap2, gmap, imap, patches, clr,
                 intrinsics, n, fac, is_initialized, rng,
-                M, pmem, mem, motion_damping):
+                M, pmem, mem, motion_damping, fixed_depth=None):
     """All device writes for tracking a new frame (ref dpvo.py:398-438).
 
     n dynamic int32; fac dynamic float (timestamp ratio for the damped
-    linear motion model); is_initialized dynamic bool.
+    linear motion model); is_initialized dynamic bool.  fixed_depth
+    (static float, test seam) replaces the random pre-init depth with a
+    constant so cross-engine parity runs share deterministic state.
     """
     n = jnp.asarray(n, jnp.int32)
     P = patches.shape[-1]
@@ -80,11 +83,17 @@ def write_frame(poses, patches_buf, intrinsics_buf, colors_buf,
     poses = poses.at[n].set(new_pose)
 
     # --- depth init (ref dpvo.py:427-431) ---
-    rand_d = jax.random.uniform(rng, (M, 1, 1))
+    rand_d = (jax.random.uniform(rng, (M, 1, 1)) if fixed_depth is None
+              else jnp.full((M, 1, 1), fixed_depth, jnp.float32))
     start = jnp.maximum(n - 3, 0) * M
     recent = jax.lax.dynamic_slice(
         patches_buf, (start, 0, 0, 0), (3 * M, 3, P, P))
-    med = jnp.median(recent[:, 2])
+    # torch.median of a flattened even-length tensor returns the LOWER
+    # middle order statistic, not the average of the two middle values
+    # (ref dpvo.py:429); jnp.median would average and shift every
+    # post-init depth seed
+    flat = jnp.sort(recent[:, 2].reshape(-1))
+    med = flat[(flat.shape[0] - 1) // 2]
     depth = jnp.where(is_initialized, jnp.full((M, 1, 1), med), rand_d)
     patches = patches.at[:, 2].set(
         jnp.broadcast_to(depth, (M, P, P)))
@@ -111,13 +120,13 @@ def write_frame(poses, patches_buf, intrinsics_buf, colors_buf,
 
 @partial(jax.jit,
          static_argnames=("patchifier", "M", "pmem", "mem",
-                          "motion_damping"),
+                          "motion_damping", "fixed_depth"),
          donate_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
 def track_frame(params, patchifier: Patchifier,
                 poses, patches_buf, intrinsics_buf, colors_buf,
                 imap_buf, gmap_buf, fmap1_buf, fmap2_buf,
                 image, coords, intrinsics, n, fac, is_initialized, rng,
-                M, pmem, mem, motion_damping):
+                M, pmem, mem, motion_damping, fixed_depth=None):
     """Fused process_frame + write_frame: one dispatch per tracked frame."""
     fmap1, fmap2, gmap, imap, patches, clr = process_frame(
         params, patchifier, image, coords)
@@ -126,7 +135,8 @@ def track_frame(params, patchifier: Patchifier,
                        fmap1, fmap2, gmap, imap, patches, clr,
                        intrinsics, n, fac, is_initialized, rng,
                        M=M, pmem=pmem, mem=mem,
-                       motion_damping=motion_damping)
+                       motion_damping=motion_damping,
+                       fixed_depth=fixed_depth)
 
 
 @partial(jax.jit,

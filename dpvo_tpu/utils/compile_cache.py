@@ -32,6 +32,11 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
                             "dpvo_tpu_xla")
     if path in ("", "0", "off", "none"):
         return None
+    # CPU AOT cache entries bake host machine features; reloading them on
+    # a different host (or after a toolchain change) warns about SIGILL
+    # risk.  CPU compiles are fast — only cache for accelerator backends.
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        return None
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     # only cache programs that took real compile time; sub-second

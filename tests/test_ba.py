@@ -310,3 +310,53 @@ class TestGlobalBA:
         err0 = ate(poses0, poses_gt)
         err1 = ate(p_out, poses_gt)
         assert err1 < 0.5 * err0, (err0, err1)
+
+
+class TestCouplingAccuracy:
+    """ADVICE r1: the kk-sorted cumsum-difference coupling assembly must
+    stay segment-accurate at large E (slots late in the sort order see
+    the full global prefix with a single-level cumsum)."""
+
+    def test_blocked_cumsum_matches_cumsum_semantics(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (2048, 5))
+        a = np.asarray(ba._blocked_cumsum(x))
+        b = np.cumsum(np.asarray(x, np.float64), axis=0)
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-4)
+        # non-multiple-of-block fallback
+        y = x[:700]
+        np.testing.assert_allclose(np.asarray(ba._blocked_cumsum(y)),
+                                   np.asarray(jnp.cumsum(y, axis=0)))
+
+    def test_per_slot_sums_accurate_at_16k(self):
+        """Cumsum-difference segment sums vs float64 ground truth at
+        E=16384 with large-magnitude values (the regime the depth
+        tolerance loosening in r1 was attributed to)."""
+        E, D, S = 16384, 8, 1024
+        rng = np.random.default_rng(3)
+        # sorted segment ids with uneven runs; values up to ~1e3
+        ids = np.sort(rng.integers(0, S, E)).astype(np.int32)
+        vals = (rng.normal(size=(E, D)) * rng.choice(
+            [1.0, 30.0, 1000.0], size=(E, 1))).astype(np.float32)
+
+        idx = np.arange(E, dtype=np.int32)
+        run_s = np.full(S, E, np.int64)
+        run_e = np.zeros(S, np.int64)
+        np.minimum.at(run_s, ids, idx)
+        np.maximum.at(run_e, ids, idx + 1)
+        nonempty = run_e > run_s
+        run_e1 = np.clip(run_e - 1, 0, E - 1)
+
+        cs = np.asarray(ba._blocked_cumsum(jnp.asarray(vals)))
+        lo = np.where((run_s > 0)[:, None],
+                      cs[np.clip(run_s - 1, 0, E - 1)], 0.0)
+        got = np.where(nonempty[:, None], cs[run_e1] - lo, 0.0)
+
+        ref = np.zeros((S, D), np.float64)
+        np.add.at(ref, ids, vals.astype(np.float64))
+
+        # blocked accumulation keeps the error segment-local: relative
+        # to the largest segment sum, not to the ~1e7 global prefix a
+        # single-level cumsum difference is exposed to
+        err = np.abs(got - ref).max()
+        assert err / max(np.abs(ref).max(), 1.0) < 5e-5, (
+            f"relative segment-sum error {err / np.abs(ref).max()}")
