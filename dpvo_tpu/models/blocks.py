@@ -87,9 +87,35 @@ class SoftAgg(nn.Module):
 
     @nn.compact
     def __call__(self, x, jx=None, num_groups=None, valid=None,
-                 sorted_meta=None):
+                 sorted_meta=None, shard_axis=None):
         f = nn.Dense(self.dim, dtype=self.dtype, name="f")(x)
         g = nn.Dense(self.dim, dtype=self.dtype, name="g")(x)
+
+        if shard_axis is not None:
+            # cross-shard path (edge-sharded inference, shard_map over
+            # ``shard_axis``): groups may span shards, so ``jx`` must be
+            # GLOBALLY consistent dense ids in [0, num_groups).  The
+            # segment softmax runs in three collectives over the mesh:
+            # pmax of per-group maxima (stability), psum of exp sums,
+            # psum of exp-weighted value sums — same math as
+            # scatter_softmax + scatter_sum, reduction order aside.
+            S = num_groups + 1
+            if valid is not None:
+                jx = jnp.where(valid, jx, num_groups)
+            g32 = g.astype(jnp.float32)
+            m = jax.ops.segment_max(g32, jx, num_segments=S)
+            m = jax.lax.pmax(m, shard_axis)
+            m = jnp.where(jnp.isfinite(m), m, 0.0)
+            e = jnp.exp(g32 - m[jx])
+            denom = jax.lax.psum(
+                jax.ops.segment_sum(e, jx, num_segments=S), shard_axis)
+            w = e / jnp.maximum(denom, 1e-12)[jx]
+            y = jax.lax.psum(
+                jax.ops.segment_sum(f.astype(jnp.float32) * w, jx,
+                                    num_segments=S), shard_axis)
+            h = nn.Dense(self.dim, dtype=self.dtype,
+                         name="h")(y.astype(self.dtype))
+            return h[jx]
 
         if sorted_meta is not None:
             # fast path: host supplies sort metadata; segment reductions

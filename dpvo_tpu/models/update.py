@@ -68,7 +68,7 @@ class Update(nn.Module):
 
     @nn.compact
     def __call__(self, net, inp, corr, ii, jj, kk, valid=None,
-                 agg_meta=None, nbrs=None):
+                 agg_meta=None, nbrs=None, shard_ctx=None):
         """One recurrent update.
 
         net   (E, DIM)  hidden state per edge
@@ -78,6 +78,12 @@ class Update(nn.Module):
         agg_meta optional (meta_kk, meta_ij) sort metadata tuples
                  (perm, inv_perm, start, end) enabling the scatter-free
                  sorted-segment attention path
+        shard_ctx optional (axis_name, gid_ij, g_cap): edge-sharded
+                 inference inside ``shard_map`` — agg_kk stays
+                 shard-local (the edge partitioner never splits a patch
+                 group across shards, parallel/infer_step.py), agg_ij
+                 reduces over the mesh with globally consistent dense
+                 pair ids ``gid_ij`` in [0, g_cap)
         -> (net', delta (E, 2) fp32, weight (E, 2) fp32)
         """
         E = net.shape[0]
@@ -120,7 +126,14 @@ class Update(nn.Module):
         net = net + nn.Dense(DIM, dtype=dt, name="c2_1")(h)
 
         # group attention (ref net.py:83-84)
-        if agg_meta is not None:
+        if shard_ctx is not None:
+            axis_name, gid_ij, g_cap = shard_ctx
+            _, ku = scatter.compactify(
+                jnp.where(valid, kk, jnp.iinfo(jnp.int32).max), size=E)
+            net = net + SoftAgg(DIM, dt, name="agg_kk")(net, ku, E, valid)
+            net = net + SoftAgg(DIM, dt, name="agg_ij")(
+                net, gid_ij, g_cap, valid, shard_axis=axis_name)
+        elif agg_meta is not None:
             meta_kk, meta_ij = agg_meta
             net = net + SoftAgg(DIM, dt, name="agg_kk")(
                 net, sorted_meta=meta_kk)

@@ -37,6 +37,31 @@ _HI = jax.lax.Precision.HIGHEST
 _INT_MAX = jnp.iinfo(jnp.int32).max
 
 
+def _blocked_cumsum(x, B=512):
+    """Inclusive cumsum over axis 0 with two-level (blocked) accumulation.
+
+    Mathematically identical to ``jnp.cumsum``; numerically, the
+    within-block partial sums keep rounding error proportional to the
+    BLOCK-local magnitude instead of the global prefix, so per-slot
+    cumsum DIFFERENCES (``_per_slot``) stay accurate for slots late in
+    the sort order at large E (ADVICE r1: the single-level cumsum
+    degraded depth-update accuracy at E~16k).  Falls back to the plain
+    cumsum when E is not a multiple of B (edge tables are bucketed to
+    multiples of 1024).
+    """
+    E = x.shape[0]
+    if E % B or E <= B:
+        return jnp.cumsum(x, axis=0)
+    nb = E // B
+    xb = x.reshape((nb, B) + x.shape[1:])
+    within = jnp.cumsum(xb, axis=1)
+    totals = within[:, -1]
+    prefix = jnp.concatenate(
+        [jnp.zeros_like(totals[:1]), jnp.cumsum(totals[:-1], axis=0)], 0)
+    ext = (slice(None), None) + (slice(None),) * (x.ndim - 1)
+    return (within + prefix[ext]).reshape(x.shape)
+
+
 def _edge_terms_center(poses, patches, fx, fy, cx, cy, target, ii, jj, kk):
     """Per-edge residuals and Jacobians at the central patch pixel,
     literal rebuild of reprojection_residuals_and_hessian
@@ -211,10 +236,10 @@ def ba_iterative(poses, patches, intrinsics, target, weight, lmbda,
         # edges are kk-sorted, so the per-slot sums are cumsum
         # differences over contiguous runs (w already carries `valid`)
         A = jnp.einsum("er,era->ea", w * Jz, Jeff, precision=_HI)  # (E, D)
-        Emat = _per_slot(jnp.cumsum(A, axis=0)).T           # (D, k_cap)
+        Emat = _per_slot(_blocked_cumsum(A)).T              # (D, k_cap)
         Cu = jnp.stack([jnp.sum(w * Jz * Jz, axis=1),
                         jnp.sum(w * r * Jz, axis=1)], axis=-1)
-        Cu = _per_slot(jnp.cumsum(Cu, axis=0))              # (k_cap, 2)
+        Cu = _per_slot(_blocked_cumsum(Cu))                 # (k_cap, 2)
         C, u = Cu[:, 0], Cu[:, 1]
 
         Q = 1.0 / (C + lmbda)                               # (k_cap,)
@@ -264,6 +289,128 @@ def ba_iterative(poses, patches, intrinsics, target, weight, lmbda,
     poses, patches = jax.lax.fori_loop(0, iterations, iteration,
                                        (poses, patches))
     return poses, patches
+
+
+def ba_iterative_sharded(poses, patches, intrinsics, target, weight, lmbda,
+                         ii, jj, kk, valid, t0, t1, n_cap, k_cap,
+                         iterations, axis_name):
+    """Edge-sharded twin of ``ba_iterative`` for use INSIDE ``shard_map``
+    (docs/MULTICHIP.md "edge-sharded SLAM inference").
+
+    Every shard holds a slice of the edge tables (replicated
+    poses/patches/intrinsics) and computes its partial normal-equation
+    quantities; one ``psum`` of (B (D,D), v (D,), E (D,k_cap),
+    C/u (k_cap,)) — ~1.6 MB at D=96, k_cap=4096 — then every shard
+    solves the same small damped Schur system redundantly and applies
+    identical retractions, so poses/patches stay replicated.  No
+    per-edge data ever crosses chips.
+
+    Masks / damping / depth-reset semantics are identical to
+    ``ba_iterative``; the patch slots use a GLOBAL dense mapping
+    ``kk - k_lo`` (k_lo = mesh-wide min live patch id) instead of the
+    sorted compaction, which requires the live patch span to fit k_cap —
+    true for the windowed tracking loop (PATCH_LIFETIME * M << k_cap).
+    """
+    poses = jnp.asarray(poses, jnp.float32)
+    patches = jnp.asarray(patches, jnp.float32)
+    target = jnp.asarray(target, jnp.float32)
+    weight = jnp.asarray(weight, jnp.float32)
+    fx, fy, cx, cy = [jnp.asarray(intrinsics[i], jnp.float32)
+                      for i in range(4)]
+    E = ii.shape[0]
+    P = patches.shape[-1]
+    K = patches.shape[0]
+
+    k_lo = jax.lax.pmin(jnp.min(jnp.where(valid, kk, _INT_MAX)),
+                        axis_name)
+    rel = kk - k_lo
+    in_rng = valid & (rel >= 0) & (rel < k_cap)
+    slot = jnp.where(in_rng, jnp.clip(rel, 0, k_cap - 1), k_cap)
+
+    # global slot -> patch row (replicated); rows >= K dropped on write
+    slot_rows = k_lo + jnp.arange(k_cap, dtype=jnp.int32)
+    slot_rows_c = jnp.clip(slot_rows, 0, K - 1)
+    cnt = jax.lax.psum(
+        jax.ops.segment_sum(in_rng.astype(jnp.float32), slot,
+                            num_segments=k_cap + 1)[:k_cap], axis_name)
+    touched = (cnt > 0) & (slot_rows < K)
+
+    def iteration(_, state):
+        poses, patches = state
+
+        r, mask, Ji, Jj, Jz = _edge_terms_center(
+            poses, patches, fx, fy, cx, cy, target, ii, jj, kk)
+        w = mask[:, None] * weight * in_rng[:, None]        # (E, 2)
+
+        li = ii - t0
+        lj = jj - t0
+        vi = (li >= 0) & (li < n_cap) & in_rng
+        vj = (lj >= 0) & (lj < n_cap) & in_rng
+        lic = jnp.clip(li, 0, n_cap - 1)
+        ljc = jnp.clip(lj, 0, n_cap - 1)
+
+        oh_i = ((lic[:, None] == jnp.arange(n_cap)) & vi[:, None]
+                ).astype(jnp.float32)
+        oh_j = ((ljc[:, None] == jnp.arange(n_cap)) & vj[:, None]
+                ).astype(jnp.float32)
+        Jeff = (-oh_i[:, None, :, None] * Ji[:, :, None, :]
+                + oh_j[:, None, :, None] * Jj[:, :, None, :])
+        D = 6 * n_cap
+        Jeff = Jeff.reshape(E, 2, D)
+        wJeff = w[:, :, None] * Jeff
+
+        B = jnp.einsum("era,erb->ab", wJeff, Jeff, precision=_HI)
+        vvec = jnp.einsum("era,er->a", wJeff, r, precision=_HI)
+
+        A = jnp.einsum("er,era->ea", w * Jz, Jeff, precision=_HI)
+        Emat = jax.ops.segment_sum(A, slot,
+                                   num_segments=k_cap + 1)[:k_cap].T
+        Cu = jnp.stack([jnp.sum(w * Jz * Jz, axis=1),
+                        jnp.sum(w * r * Jz, axis=1)], axis=-1)
+        Cu = jax.ops.segment_sum(Cu, slot,
+                                 num_segments=k_cap + 1)[:k_cap]
+
+        # ONE fused cross-shard reduction of all partials
+        B, vvec, Emat, Cu = jax.lax.psum((B, vvec, Emat, Cu), axis_name)
+        C, u = Cu[:, 0], Cu[:, 1]
+
+        Q = 1.0 / (C + lmbda)
+
+        EQ = Emat * Q[None, :]
+        S = B - jnp.matmul(EQ, Emat.T, precision=_HI)
+        y = vvec - jnp.matmul(EQ, u, precision=_HI)
+
+        diag = jnp.diagonal(S)
+        S = S + jnp.diag(1e-4 * diag + 1.0)
+
+        L, lower = jax.scipy.linalg.cho_factor(S, lower=True)
+        dX = jax.scipy.linalg.cho_solve((L, lower), y)
+        ok = jnp.all(jnp.isfinite(dX))
+        dX = jnp.where(ok, dX, 0.0)
+
+        dZ = Q * (u - jnp.matmul(Emat.T, dX, precision=_HI))
+        dZ = jnp.where(ok, dZ, 0.0)
+
+        dX_blocks = dX.reshape(n_cap, 6)
+        pose_slot = jnp.arange(poses.shape[0])
+        lp = pose_slot - t0
+        free = (lp >= 0) & (pose_slot < t1)
+        dxi = jnp.where(free[:, None],
+                        dX_blocks[jnp.clip(lp, 0, n_cap - 1)], 0.0)
+        poses = jnp.where(free[:, None], lie.se3_retr(poses, dxi), poses)
+
+        d_old = patches[slot_rows_c, 2, 0, 0]
+        d_new = d_old + dZ
+        d_new = jnp.where(d_new > 20.0, 1.0, d_new)
+        d_new = jnp.maximum(d_new, 1e-4)
+        d_new = jnp.where(touched, d_new, d_old)
+        patches = patches.at[slot_rows, 2].set(
+            jnp.broadcast_to(d_new[:, None, None], (k_cap, P, P)),
+            mode="drop")
+
+        return poses, patches
+
+    return jax.lax.fori_loop(0, iterations, iteration, (poses, patches))
 
 
 # ---------------------------------------------------------------------------
