@@ -23,12 +23,16 @@ from dpvo_tpu.utils.timing import Timer
 def run(cfg, network, imagedir, calib, stride=1, skip=0, viz=False,
         timeit=False):
     slam = None
+    intrinsics = None
     queue, reader = spawn_stream(imagedir, calib, stride, skip)
 
     while True:
-        t, image, intrinsics = queue.get()
+        # the sentinel item is (-1, None, None) — keep the last real
+        # intrinsics for the COLMAP export below
+        t, image, intr = queue.get()
         if t < 0:
             break
+        intrinsics = intr
 
         if slam is None:
             H, W = image.shape[:2]

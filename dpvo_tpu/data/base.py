@@ -61,14 +61,19 @@ class RGBDDataset:
         raise NotImplementedError
 
     def _build_dataset_index(self):
+        """Training mode indexes non-test scenes (ref base.py:70-80);
+        validation mode indexes ONLY the held-out test scenes, so a
+        ``mode="validation"`` dataset actually samples the reserved
+        split instead of silently re-serving training scenes."""
+        want_test = getattr(self, "mode", "training") == "validation"
         self.dataset_index = []
         for scene in self.scene_info:
-            if not self.__class__.is_test_scene(scene):
+            if self.__class__.is_test_scene(scene) == want_test:
                 graph = self.scene_info[scene]["graph"]
                 for i in graph:
                     if i < len(graph) - 65:
                         self.dataset_index.append((scene, i))
-            else:
+            elif not want_test:
                 print(f"Reserving {scene} for validation")
 
     @staticmethod

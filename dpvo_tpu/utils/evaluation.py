@@ -25,7 +25,12 @@ def umeyama_alignment(x, y, with_scale=True):
     if np.linalg.det(U) * np.linalg.det(Vt) < 0:
         S[2, 2] = -1
     R = U @ S @ Vt
-    s = np.trace(np.diag(D) @ S) / sigma_x if with_scale else 1.0
+    # degenerate (near-static) estimate: zero variance makes the scale
+    # term 0/0 — fall back to scale 1 so the ATE stays finite
+    if with_scale and sigma_x > 1e-12:
+        s = np.trace(np.diag(D) @ S) / sigma_x
+    else:
+        s = 1.0
     t = my - s * R @ mx
     return R, t, s
 
