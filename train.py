@@ -76,13 +76,21 @@ def train(config):
     M = tcfg.get("M", 80)
     n_frames = dcfg.get("n_frames", 15)
 
-    mesh = make_mesh()
+    # optional chip-count cap (training.devices) — e.g. reserve chips for
+    # a concurrent eval job, or shrink the dp mesh for small datasets
+    mesh = make_mesh(tcfg.get("devices"))
     n_dev = len(mesh.devices.flat)
     B = max(tcfg.get("batch_size", 1), n_dev)
 
-    db = dataset_factory(
-        dcfg["names"], datapath=dcfg["roots"][0], n_frames=n_frames,
-        fmin=dcfg.get("fmin", 16.0), fmax=dcfg.get("fmax", 60.0))
+    reader_kw = dict(
+        n_frames=n_frames, fmin=dcfg.get("fmin", 16.0),
+        fmax=dcfg.get("fmax", 60.0),
+        crop_size=tuple(dcfg.get("crop_size", (480, 640))),
+        aug=dcfg.get("aug", True))
+    if dcfg.get("cache_dir"):
+        reader_kw["cache_dir"] = dcfg["cache_dir"]
+    db = dataset_factory(dcfg["names"], datapath=dcfg["roots"][0],
+                         **reader_kw)
     loader = make_loader(db, batch_size=B,
                          num_workers=config["dataloader"]["num_workers"],
                          prefetch=config["dataloader"]["prefetch"])
@@ -154,8 +162,7 @@ def train(config):
         try:
             val_db = dataset_factory(
                 dcfg["names"], datapath=dcfg["roots"][0],
-                n_frames=n_frames, mode="validation",
-                fmin=dcfg.get("fmin", 16.0), fmax=dcfg.get("fmax", 60.0))
+                mode="validation", **reader_kw)
             val_loader = make_loader(val_db, batch_size=1, num_workers=0,
                                      prefetch=1, shuffle=False)
             vrng = np.random.default_rng(7)
@@ -176,6 +183,13 @@ def train(config):
         except Exception as e:
             val_enabled = False
             print(f"validation disabled (no validation data): {e}")
+
+    if len(db) < B:
+        raise RuntimeError(
+            f"dataset has {len(db)} samples but the global batch is {B} "
+            f"(batch_size={tcfg.get('batch_size', 1)} over {n_dev} "
+            "device(s)); with drop_last the loader would never yield — "
+            "add data or reduce training.devices/batch_size")
 
     while total_steps < steps_total:
         for batch_np in loader:
