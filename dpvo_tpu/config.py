@@ -33,16 +33,29 @@ class VOConfig:
     # keyframing (ref config.py:18-19)
     KEYFRAME_INDEX: int = 4
     KEYFRAME_THRESH: float = 15.0
-    # evaluate the keyframe motion check ASYNC_KEYFRAME_LAG frames late,
-    # fetched by a background thread: the steady tracking loop then makes
-    # ZERO blocking device->host reads per frame (a host fetch costs
-    # ~27ms through a remote-TPU tunnel, and the device queue runs about
-    # one frame behind the host).  The merge candidate is identified by
-    # timestamp, so interleaved merges cannot misalign it.  False = exact
+    # keyframe motion scalars are fetched by background reader threads
+    # and each merge decision applies as soon as its fetch lands
+    # (typically 1-2 frames later): the steady tracking loop makes ZERO
+    # blocking device->host reads per frame.  This is what makes a
+    # remote-TPU tunnel viable: a synchronous scalar read costs one
+    # full RTT (~27ms quiet, >100ms in noisy-neighbor periods), and a
+    # blocking read per frame pins the frame period to ~RTT/(lag+1)
+    # regardless of device throughput (measured: 23.5ms of device work
+    # per frame but 34ms/frame wall with a lag-3 blocking read).
+    # ASYNC_KEYFRAME_LAG bounds how many decisions may stay pending
+    # before the tracking thread blocks on the oldest one (bounds state
+    # divergence; also sizes the compact_frames ring shift, see
+    # kf_shift_cap).  The merge candidate is identified by timestamp,
+    # so variable-lag application cannot misalign it.  False = exact
     # reference timing (ref dpvo.py:266-268 reads motionmag
     # synchronously).
+    # ASYNC_KEYFRAME_BATCH motion scalars are stacked on device and
+    # fetched as ONE vector read, so the RTT is amortized over the
+    # batch (per-frame scalar fetches cap the frame rate at the fetch
+    # throughput, ~2 concurrent RPCs per RTT through the tunnel).
     ASYNC_KEYFRAME: bool = True
-    ASYNC_KEYFRAME_LAG: int = 3
+    ASYNC_KEYFRAME_LAG: int = 8
+    ASYNC_KEYFRAME_BATCH: int = 4
 
     # camera motion model (ref config.py:22-23)
     MOTION_MODEL: str = "DAMPED_LINEAR"
@@ -80,6 +93,17 @@ class VOConfig:
 
     def replace(self, **kw) -> "VOConfig":
         return dataclasses.replace(self, **kw)
+
+    def kf_shift_cap(self) -> int:
+        """Ring-shift bound for compact_frames (a jit static).
+
+        A merge created at frame n0 targets slot n0 - KEYFRAME_INDEX and
+        may apply up to ASYNC_KEYFRAME_LAG + 1 frames later (keyframe()
+        force-blocks past the lag bound), so the slot sits at most
+        KEYFRAME_INDEX + LAG below the top when the shift runs;
+        intervening merges only move it closer.  +1 margin slot."""
+        lag = self.ASYNC_KEYFRAME_LAG if self.ASYNC_KEYFRAME else 0
+        return self.KEYFRAME_INDEX + lag + 1
 
     def edge_capacity(self) -> int:
         """Resolved active edge-table capacity.

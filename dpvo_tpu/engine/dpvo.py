@@ -99,14 +99,22 @@ class DPVO:
             self.use_pallas = jax.default_backend() not in ("cpu",)
         else:
             self.use_pallas = cfg.CORR_BACKEND == "pallas"
-        # host metadata (sorts) runs in worker threads; keyframe scalars
-        # are read on the main thread after a copy_to_host_async started
-        # lag-N frames earlier (no worker fetch: concurrent d2h RPCs
-        # contend on the client lock)
+        # host metadata (sorts) runs in worker threads; keyframe motion
+        # scalars are batched on device and fetched as one vector per
+        # ASYNC_KEYFRAME_BATCH frames by a reader thread, so the
+        # tracking thread NEVER issues a blocking d2h read and the
+        # per-batch RTT amortizes (measured: worker fetches do not
+        # stall main-thread dispatches)
         self._meta_pool = ThreadPoolExecutor(max_workers=4)
-        self._kf_queue: list = []
+        self._mag_pool = ThreadPoolExecutor(max_workers=2)
+        # keyframe decision pipeline (see _set_last_mag/keyframe):
+        # device mag scalars accumulate in _mag_pending, get stacked +
+        # fetched as one vector per ASYNC_KEYFRAME_BATCH frames, and the
+        # resolved decisions apply from _kf_queue
+        self._mag_pending: list = []   # (mag_dev_scalar, tcand)
+        self._kf_queue: list = []      # (Future[np vec], [tcands], t_flush)
+        self._kf_clock = 0             # keyframe() call counter
         self._pending_perm = None
-        self._last_mag = None
         self._mm_tcand = None
         # test seams for cross-engine parity runs (tests/test_engine_parity):
         # scripted centroids (counter -> (M, 2) float [x, y]) and a
@@ -443,7 +451,7 @@ class DPVO:
             sc.poses, sc.patches, sc.intrinsics, sc.colors,
             sc.imap, sc.gmap, sc.fmap1, sc.fmap2,
             np.int32(1), np.int32(2), M=self.M, pmem=self.pmem,
-            mem=self.mem, shift_cap=cfg.KEYFRAME_INDEX + 3)
+            mem=self.mem, shift_cap=cfg.kf_shift_cap())
         for chunk in (512, 1024, 2048, 4096):
             if chunk > self.E_cap:
                 break
@@ -736,18 +744,31 @@ class DPVO:
         return mag, tcand
 
     def _set_last_mag(self, mag, mm):
-        """Stash the in-step motionmag scalar and start its d2h copy NOW:
-        by the time the lag-N keyframe decision reads it, the transfer has
-        long completed and float() is ~0.1ms instead of a ~30ms blocking
-        RPC through the remote-TPU tunnel."""
+        """Queue the in-step motionmag scalar for a batched fetch.
+
+        Scalars stay on device until ASYNC_KEYFRAME_BATCH of them are
+        pending; _flush_mags then stacks them (one tiny dispatch) and a
+        reader thread fetches the vector — ONE d2h RTT per batch, off
+        the tracking thread.  Per-frame fetches cannot work through a
+        remote-TPU tunnel: a scalar read costs a full RTT (~27ms quiet,
+        >100ms noisy) and concurrent fetch RPCs only overlap ~2x, so
+        the frame period degenerates to ~RTT/2 regardless of device
+        throughput (measured 51ms/frame keyframe/result in the
+        per-frame-worker design; 23.5ms with a lag-3 blocking read)."""
         if mm is None:
-            self._last_mag = None
             return
-        try:
-            mag.copy_to_host_async()
-        except Exception:
-            pass  # non-jax array (tests) or backend without async copies
-        self._last_mag = (mag, self._mm_tcand)
+        self._mag_pending.append((mag, self._mm_tcand))
+
+    def _flush_mags(self):
+        """Stack pending mag scalars and hand the vector to a reader."""
+        if not self._mag_pending:
+            return
+        mags = jnp.stack([m for m, _ in self._mag_pending])
+        tcands = [tc for _, tc in self._mag_pending]
+        self._mag_pending.clear()
+        self._kf_queue.append((
+            self._mag_pool.submit(np.asarray, mags), tcands,
+            self._kf_clock))
 
     def _keyframe_apply(self, m, tcand):
         """Merge the candidate frame if motion is small
@@ -761,6 +782,12 @@ class DPVO:
             k = int(np.searchsorted(hs.tstamps[:self.n], tcand))
             if k >= self.n or hs.tstamps[k] != tcand or k < 1:
                 return  # candidate already merged away
+            if self.n - 1 - k > cfg.kf_shift_cap():
+                raise RuntimeError(
+                    f"keyframe merge shift {self.n - 1 - k} exceeds "
+                    f"kf_shift_cap {cfg.kf_shift_cap()}; raise "
+                    f"ASYNC_KEYFRAME_LAG (compact_frames would corrupt "
+                    f"the fmap ring)")
             t0 = hs.tstamps[k - 1]
             t1 = hs.tstamps[k]
             # dP stays a device array: no host fetch on the merge path;
@@ -788,7 +815,7 @@ class DPVO:
                 ds.imap, ds.gmap, ds.fmap1, ds.fmap2,
                 np.int32(k), np.int32(self.n),
                 M=self.M, pmem=self.pmem, mem=self.mem,
-                shift_cap=cfg.KEYFRAME_INDEX + 3)
+                shift_cap=cfg.kf_shift_cap())
 
             hs.tstamps[k:self.n - 1] = hs.tstamps[k + 1:self.n]
             self.n -= 1
@@ -805,21 +832,31 @@ class DPVO:
         cfg, hs = self.cfg, self.hs
 
         if cfg.ASYNC_KEYFRAME:
+            self._kf_clock += 1
             t_l = self._tick()
-            if self._last_mag is not None:
-                self._kf_queue.append(self._last_mag)
-                self._last_mag = None
+            # flush at the effective batch size (bounded by the lag so
+            # small-LAG configs — tests — still apply promptly)
+            b_eff = max(1, min(cfg.ASYNC_KEYFRAME_BATCH,
+                               cfg.ASYNC_KEYFRAME_LAG))
+            if len(self._mag_pending) >= b_eff:
+                self._flush_mags()
             self._tock(t_l, "keyframe/launch")
-            if len(self._kf_queue) > cfg.ASYNC_KEYFRAME_LAG:
-                mag, tcand = self._kf_queue.pop(0)
+            # apply every batch whose background fetch has landed
+            # (FIFO, so merges apply in order); block only when the
+            # oldest DECISION in the oldest batch is ASYNC_KEYFRAME_LAG
+            # frames overdue — that bounds state divergence and the
+            # compact_frames shift length (cfg.kf_shift_cap)
+            q = self._kf_queue
+            while q and (q[0][0].done()
+                         or self._kf_clock - q[0][2] + b_eff - 1
+                         >= cfg.ASYNC_KEYFRAME_LAG):
+                fut, tcands, _ = q.pop(0)
                 t_r = self._tick()
-                # the d2h copy was started lag-N frames ago
-                # (_set_last_mag), so this read is ~0.1ms, not a ~30ms
-                # blocking RPC
-                m = float(mag)
+                mvec = fut.result()
                 self._tock(t_r, "keyframe/result")
                 t_a = self._tick()
-                self._keyframe_apply(m, tcand)
+                for m, tcand in zip(mvec, tcands):
+                    self._keyframe_apply(float(m), tcand)
                 self._tock(t_a, "keyframe/apply")
         else:
             launched = self._motionmag_launch()
@@ -998,6 +1035,10 @@ class DPVO:
 
         if self.viewer is not None:
             self.viewer.join()
+        # release worker threads (pending keyframe decisions are
+        # dropped by contract — the trailing <=LAG merges never apply)
+        self._mag_pool.shutdown(wait=False, cancel_futures=True)
+        self._meta_pool.shutdown(wait=False, cancel_futures=True)
         return poses, tstamps
 
     @property

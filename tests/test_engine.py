@@ -21,6 +21,10 @@ TINY = VOConfig(
     PATCH_LIFETIME=4,
     KEYFRAME_INDEX=2,
     KEYFRAME_THRESH=0.0,      # never remove keyframes unless forced
+    # async decisions apply when the reader thread resolves them, which
+    # under a loaded CI host can be arbitrarily late; force at lag 1 so
+    # short merge-counting runs are deterministic
+    ASYNC_KEYFRAME_LAG=1,
     MIXED_PRECISION=False,
     EDGE_CAPACITY=512,
     BA_WINDOW_CAP=8,

@@ -123,7 +123,10 @@ def _run_oracle(T, async_kf, thresh):
                    KEYFRAME_INDEX=2, KEYFRAME_THRESH=thresh,
                    MIXED_PRECISION=False, EDGE_CAPACITY=2048,
                    BA_WINDOW_CAP=16, LOOP_CLOSURE=False,
-                   ASYNC_KEYFRAME=async_kf)
+                   ASYNC_KEYFRAME=async_kf,
+                   # deterministic merge timing for the A/B (decisions
+                   # otherwise apply whenever the reader thread lands)
+                   ASYNC_KEYFRAME_LAG=1)
     slam = OracleDPVO(cfg, network=None, ht=HT, wd=WD)
     slam.motion_probe = lambda: 100.0
     poses_gt = gt_trajectory(T)
