@@ -192,12 +192,15 @@ def _corr_features(gmap_buf, fmap1_buf, fmap2_buf, coords2, kk_mod,
 
 
 def _corr_features_pallas(gmap_buf, fmap1_buf, fmap2_buf, coords2, kk_mod,
-                          corr_perm, corr_inv, tile_frame):
+                          corr_perm, corr_inv, tile_frame, n_live=None):
     """Pallas frame-resident correlation over jj-grouped edges.
 
     corr_perm (Es,) sorts/pads edges into frame-contiguous TILE groups;
     corr_inv (E,) maps table rows back; tile_frame (Es//TILE,) gives the
-    fmap ring slot per tile.
+    fmap ring slot per tile; n_live counts the live tiles (stale rows
+    group to the tail and their tiles are skipped in-kernel).
+    The kernel emits the compute dtype directly (the corr encoder casts
+    immediately anyway), so no separate f32->bf16 relayout copy.
     (A lazy pair form feeding CorrDense's split-kernel path was tried
     and measured 2.2 ms SLOWER at E=16k than materializing the
     interleaved array — XLA lays out the two (Es, 441) matmuls worse
@@ -207,8 +210,11 @@ def _corr_features_pallas(gmap_buf, fmap1_buf, fmap2_buf, coords2, kk_mod,
     coords_s = coords2[corr_perm]                        # (Es, 2, P, P)
     kk_s = kk_mod[corr_perm]
     g_pre = gmap_buf[kk_s].reshape(Es, cp.P2, C)
-    c1 = cp.corr_pallas(g_pre, fmap1_buf, coords_s, tile_frame)
-    c2 = cp.corr_pallas(g_pre, fmap2_buf, coords_s / 4.0, tile_frame)
+    dt = gmap_buf.dtype
+    c1 = cp.corr_pallas(g_pre, fmap1_buf, coords_s, tile_frame,
+                        n_live=n_live, out_dtype=dt)
+    c2 = cp.corr_pallas(g_pre, fmap2_buf, coords_s / 4.0, tile_frame,
+                        n_live=n_live, out_dtype=dt)
     feat = jnp.stack([c1, c2], axis=-1).reshape(Es, -1)
     return feat[corr_inv]                                # (E, 882)
 
@@ -218,7 +224,8 @@ def _update_core(params, poses, patches_buf, intrinsics_buf,
                  net_tab, target_tab, weight_tab, ii, jj, kk, valid,
                  t0, t1, update_mod: Update, M, pmem, mem, n_cap, k_cap,
                  iterations, run_ba, use_pallas,
-                 corr_perm, corr_inv, tile_frame, agg_meta, nbrs, mm):
+                 corr_perm, corr_inv, tile_frame, agg_meta, nbrs, mm,
+                 n_live=None):
     """Shared body of update_step/update_step_dev (traced inside jit)."""
     E = ii.shape[0]  # the bucket size
     P = patches_buf.shape[-1]
@@ -239,7 +246,7 @@ def _update_core(params, poses, patches_buf, intrinsics_buf,
     if use_pallas:
         corr_feat = _corr_features_pallas(
             gmap_buf, fmap1_buf, fmap2_buf, coords2, kk_mod,
-            corr_perm, corr_inv, tile_frame)
+            corr_perm, corr_inv, tile_frame, n_live=n_live)
     else:
         corr_feat = _corr_features(gmap_buf, fmap1_buf, fmap2_buf,
                                    coords2, kk_mod, jj_mod)
@@ -285,7 +292,7 @@ def update_step(params, poses, patches_buf, intrinsics_buf,
                 update_mod: Update, M, pmem, mem, n_cap, k_cap,
                 iterations=2, run_ba=True, use_pallas=False,
                 corr_perm=None, corr_inv=None, tile_frame=None,
-                agg_meta=None, nbrs=None, mm=None):
+                agg_meta=None, nbrs=None, mm=None, n_live=None):
     """Reproject -> correlate -> recurrent update -> bundle adjust
     (ref dpvo.py:328-356) with HOST-provided edge arrays + metadata.
 
@@ -303,7 +310,7 @@ def update_step(params, poses, patches_buf, intrinsics_buf,
                         valid, t0, t1, update_mod, M, pmem, mem, n_cap,
                         k_cap, iterations, run_ba, use_pallas,
                         corr_perm, corr_inv, tile_frame, agg_meta, nbrs,
-                        mm)
+                        mm, n_live=n_live)
 
 
 @partial(jax.jit,
@@ -344,9 +351,10 @@ def update_step_dev(params, poses, patches_buf, intrinsics_buf,
     agg_meta = (group_meta_device(kk_g), group_meta_device(pair))
     nbrs = graph.neighbors(kk, jj, valid)
 
-    corr_perm = corr_inv = tile_frame = None
+    corr_perm = corr_inv = tile_frame = n_live = None
     if use_pallas:
-        corr_perm, corr_inv, tile_frame = corr_grouping_device(jj, mem)
+        corr_perm, corr_inv, tile_frame, n_live = corr_grouping_device(
+            jj, mem, valid)
 
     mm = None
     if has_mm:
@@ -359,7 +367,7 @@ def update_step_dev(params, poses, patches_buf, intrinsics_buf,
                         valid, t0, t1, update_mod, M, pmem, mem, n_cap,
                         k_cap, iterations, run_ba, use_pallas,
                         corr_perm, corr_inv, tile_frame, agg_meta, nbrs,
-                        mm)
+                        mm, n_live=n_live)
 
 
 @partial(jax.jit, static_argnames=("update_mod", "M", "pmem", "mem"))

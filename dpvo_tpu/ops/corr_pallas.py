@@ -58,85 +58,104 @@ def pad_fmap(fmap):
                           (PAD, Wp - W - PAD), (0, 0)))
 
 
-def _kernel(tile_frame_ref, x0_ref, y0_ref, ri_ref, dx_ref, dy_ref,
-            g_ref, fmap_ref, out_ref):
+def _kernel(tile_frame_ref, nlive_ref, x0_ref, y0_ref, ri_ref, dx_ref,
+            dy_ref, g_ref, fmap_ref, out_ref):
     """One tile: TILE edges against one VMEM-resident frame.
 
     All per-(edge, pixel) metadata lives in SMEM and is read as scalars,
     so every vector op is a plain lane-aligned broadcast — no Mosaic
-    relayouts.
+    relayouts.  Dead tail tiles write zeros (see _kernel_v3).
     """
     f32 = jnp.float32
     i32 = jnp.int32
 
-    # static iota planes for the x select+blend matrix (DW, D-1)
-    rows = jax.lax.broadcasted_iota(i32, (DW, D - 1), 0)
-    cols = jax.lax.broadcasted_iota(i32, (DW, D - 1), 1)
+    @pl.when(pl.program_id(0) >= nlive_ref[0])
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
 
-    for e in range(TILE):
-        for p in range(P2):
-            y0 = y0_ref[e, p]
-            x0 = pl.multiple_of(x0_ref[e, p], 8)
-            win = fmap_ref[0, pl.ds(y0, D), pl.ds(x0, DW), :]  # (8, 16, C)
-            g = g_ref[e, p].astype(f32)                        # (C,)
+    @pl.when(pl.program_id(0) < nlive_ref[0])
+    def _():
+        # static iota planes for the x select+blend matrix (DW, D-1)
+        rows = jax.lax.broadcasted_iota(i32, (DW, D - 1), 0)
+        cols = jax.lax.broadcasted_iota(i32, (DW, D - 1), 1)
 
-            # channel dot on the VPU: lane-aligned broadcast + reduce
-            taps = jnp.sum(win.astype(f32) * g[None, None, :],
-                           axis=2)                             # (8, 16)
+        for e in range(TILE):
+            for p in range(P2):
+                y0 = y0_ref[e, p]
+                x0 = pl.multiple_of(x0_ref[e, p], 8)
+                win = fmap_ref[0, pl.ds(y0, D), pl.ds(x0, DW), :]
+                g = g_ref[e, p].astype(f32)                    # (C,)
 
-            # y bilinear blend (static slices, scalar weights)
-            dyv = dy_ref[e, p]
-            ty = (1 - dyv) * taps[:-1, :] + dyv * taps[1:, :]  # (7, 16)
+                # channel dot on the VPU: lane-aligned broadcast+reduce
+                taps = jnp.sum(win.astype(f32) * g[None, None, :],
+                               axis=2)                         # (8, 16)
 
-            # x select + blend folded into one (16, 7) matrix:
-            # Bx[k, j] = (1-dx) at k=r+j, dx at k=r+j+1
-            dxv = dx_ref[e, p]
-            rr = ri_ref[e, p]
-            bx_mat = (jnp.where(rows == cols + rr, 1.0 - dxv, 0.0)
-                      + jnp.where(rows == cols + rr + 1, dxv, 0.0))
+                # y bilinear blend (static slices, scalar weights)
+                dyv = dy_ref[e, p]
+                ty = (1 - dyv) * taps[:-1, :] + dyv * taps[1:, :]
 
-            # exact f32 blend on the VPU (an MXU dot would bf16-round)
-            out_ref[e, p] = jnp.sum(ty[:, :, None] * bx_mat[None, :, :],
-                                    axis=1)                    # (7, 7)
+                # x select + blend folded into one (16, 7) matrix:
+                # Bx[k, j] = (1-dx) at k=r+j, dx at k=r+j+1
+                dxv = dx_ref[e, p]
+                rr = ri_ref[e, p]
+                bx_mat = (jnp.where(rows == cols + rr, 1.0 - dxv, 0.0)
+                          + jnp.where(rows == cols + rr + 1, dxv, 0.0))
+
+                # exact f32 blend on the VPU (an MXU dot bf16-rounds)
+                out_ref[e, p] = jnp.sum(
+                    ty[:, :, None] * bx_mat[None, :, :],
+                    axis=1).astype(out_ref.dtype)              # (7, 7)
 
 
-def _kernel_v3(tile_frame_ref, x0_ref, y0_ref, ri_ref, dx_ref, dy_ref,
-               g_ref, fmap_ref, out_ref):
+def _kernel_v3(tile_frame_ref, nlive_ref, x0_ref, y0_ref, ri_ref, dx_ref,
+               dy_ref, g_ref, fmap_ref, out_ref):
     """Like ``_kernel`` but the dynamic x-residue selection happens
     BEFORE the channel dot via a sublane rotate (``pltpu.roll`` with a
     dynamic shift), so the multiply + lane-reduce run on an 8-wide
-    window instead of 16 — ~2x less VPU work per (edge, pixel)."""
+    window instead of 16 — ~2x less VPU work per (edge, pixel).
+
+    Tiles past ``nlive_ref[0]`` hold only dead rows (stale edge-table
+    slots grouped to the tail by corr_grouping_device's valid mask) and
+    write zeros instead of running the 144-iteration body — at the
+    bench operating point ~20% of the grid is dead padding."""
     f32 = jnp.float32
 
-    # static iota planes for the (8, 7) x-blend matrix (residue already
-    # folded out by the rotate)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (D, D - 1), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (D, D - 1), 1)
+    @pl.when(pl.program_id(0) >= nlive_ref[0])
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
 
-    for e in range(TILE):
-        for p in range(P2):
-            y0 = y0_ref[e, p]
-            x0 = pl.multiple_of(x0_ref[e, p], 8)
-            win = fmap_ref[0, pl.ds(y0, D), pl.ds(x0, DW), :]  # (8,16,C)
-            rr = ri_ref[e, p]
-            # win8[j] = win[rr + j]: rotate x left by rr, keep 8
-            # (dynamic rotate needs 32-bit data; the f32 convert is paid
-            # by the exact-f32 dot either way)
-            win8 = pltpu.roll(win.astype(f32), -rr,
-                              axis=1)[:, :D, :]                # (8,8,C)
-            g = g_ref[e, p].astype(f32)                        # (C,)
+    @pl.when(pl.program_id(0) < nlive_ref[0])
+    def _():
+        # static iota planes for the (8, 7) x-blend matrix (residue
+        # already folded out by the rotate)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (D, D - 1), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (D, D - 1), 1)
 
-            taps = jnp.sum(win8 * g[None, None, :], axis=2)    # (8, 8)
+        for e in range(TILE):
+            for p in range(P2):
+                y0 = y0_ref[e, p]
+                x0 = pl.multiple_of(x0_ref[e, p], 8)
+                win = fmap_ref[0, pl.ds(y0, D), pl.ds(x0, DW), :]
+                rr = ri_ref[e, p]
+                # win8[j] = win[rr + j]: rotate x left by rr, keep 8
+                # (dynamic rotate needs 32-bit data; the f32 convert is
+                # paid by the exact-f32 dot either way)
+                win8 = pltpu.roll(win.astype(f32), -rr,
+                                  axis=1)[:, :D, :]            # (8,8,C)
+                g = g_ref[e, p].astype(f32)                    # (C,)
 
-            dyv = dy_ref[e, p]
-            ty = (1 - dyv) * taps[:-1, :] + dyv * taps[1:, :]  # (7, 8)
+                taps = jnp.sum(win8 * g[None, None, :], axis=2)
 
-            dxv = dx_ref[e, p]
-            bx_mat = (jnp.where(rows == cols, 1.0 - dxv, 0.0)
-                      + jnp.where(rows == cols + 1, dxv, 0.0))  # (8, 7)
+                dyv = dy_ref[e, p]
+                ty = (1 - dyv) * taps[:-1, :] + dyv * taps[1:, :]
 
-            out_ref[e, p] = jnp.sum(ty[:, :, None] * bx_mat[None, :, :],
-                                    axis=1)                    # (7, 7)
+                dxv = dx_ref[e, p]
+                bx_mat = (jnp.where(rows == cols, 1.0 - dxv, 0.0)
+                          + jnp.where(rows == cols + 1, dxv, 0.0))
+
+                out_ref[e, p] = jnp.sum(
+                    ty[:, :, None] * bx_mat[None, :, :],
+                    axis=1).astype(out_ref.dtype)              # (7, 7)
 
 
 RAW_DIM = P2 * (D - 1) * (D - 1)   # per-level feature dim (441)
@@ -162,16 +181,24 @@ def raw_to_ref_perm():
     return ref
 
 
-@partial(jax.jit, static_argnames=("interpret", "version", "raw"))
-def corr_pallas(g_pre, fmap_padded, coords, tile_frame, interpret=False,
-                version=3, raw=False):
+@partial(jax.jit, static_argnames=("interpret", "version", "raw",
+                                   "out_dtype"))
+def corr_pallas(g_pre, fmap_padded, coords, tile_frame, n_live=None,
+                interpret=False, version=3, raw=False, out_dtype=None):
     """Correlation for jj-grouped edges.
 
     g_pre       (E, 9, C) patch feature rows (gmap[kidx] flattened)
     fmap_padded (F, Hp, Wp, C) zero-padded feature maps (see pad_fmap)
     coords      (E, 2, 3, 3) float pixel coords (unpadded frame coords)
     tile_frame  (E // TILE,) int32 frame id per tile of TILE edges
-    -> (E, 7, 7, 3, 3) fp32 ordered [x_off, y_off, py, px] like the
+    n_live      optional () / (1,) int32 count of live tiles: tiles past
+                it skip the tap loop and write zeros (dead rows grouped
+                to the tail by corr_grouping_device's valid mask)
+    out_dtype   output dtype (default fp32); the engine passes its
+                compute dtype so the f32->bf16 cast happens in-kernel
+                instead of as a separate relayout copy (the only
+                consumer, CorrDense, casts immediately anyway)
+    -> (E, 7, 7, 3, 3) ordered [x_off, y_off, py, px] like the
        reference (correlation_kernel.cu:233 permute); with ``raw=True``
        the kernel-native (E, 9, 7, 7) [p, dy, dx] layout is returned
        untransposed (see raw_to_ref_perm).
@@ -181,6 +208,11 @@ def corr_pallas(g_pre, fmap_padded, coords, tile_frame, interpret=False,
     assert E % TILE == 0, E
     assert Wp % 8 == 0, Wp
     n_tiles = E // TILE
+    if n_live is None:
+        n_live = jnp.full((1,), n_tiles, jnp.int32)
+    else:
+        n_live = jnp.asarray(n_live, jnp.int32).reshape(1)
+    out_dtype = out_dtype or jnp.float32
 
     coords = coords.astype(jnp.float32)
     cx = coords[:, 0].reshape(E, P2)
@@ -199,28 +231,28 @@ def corr_pallas(g_pre, fmap_padded, coords, tile_frame, interpret=False,
 
     smem = dict(memory_space=pltpu.SMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((TILE, P2), lambda i, tf: (i, 0), **smem),  # x0
-            pl.BlockSpec((TILE, P2), lambda i, tf: (i, 0), **smem),  # y0
-            pl.BlockSpec((TILE, P2), lambda i, tf: (i, 0), **smem),  # ri
-            pl.BlockSpec((TILE, P2), lambda i, tf: (i, 0), **smem),  # dx
-            pl.BlockSpec((TILE, P2), lambda i, tf: (i, 0), **smem),  # dy
-            pl.BlockSpec((TILE, P2, C), lambda i, tf: (i, 0, 0)),    # g
+            pl.BlockSpec((TILE, P2), lambda i, tf, nl: (i, 0), **smem),
+            pl.BlockSpec((TILE, P2), lambda i, tf, nl: (i, 0), **smem),
+            pl.BlockSpec((TILE, P2), lambda i, tf, nl: (i, 0), **smem),
+            pl.BlockSpec((TILE, P2), lambda i, tf, nl: (i, 0), **smem),
+            pl.BlockSpec((TILE, P2), lambda i, tf, nl: (i, 0), **smem),
+            pl.BlockSpec((TILE, P2, C), lambda i, tf, nl: (i, 0, 0)),
             pl.BlockSpec((1, Hp, Wp, C),
-                         lambda i, tf: (tf[i], 0, 0, 0)),     # fmap
+                         lambda i, tf, nl: (tf[i], 0, 0, 0)),  # fmap
         ],
         out_specs=pl.BlockSpec((TILE, P2, D - 1, D - 1),
-                               lambda i, tf: (i, 0, 0, 0)),
+                               lambda i, tf, nl: (i, 0, 0, 0)),
     )
 
     out = pl.pallas_call(
         _kernel_v3 if version == 3 else _kernel,
-        out_shape=jax.ShapeDtypeStruct((E, P2, D - 1, D - 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((E, P2, D - 1, D - 1), out_dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(tile_frame, x0, by, ri, dx.astype(jnp.float32),
+    )(tile_frame, n_live, x0, by, ri, dx.astype(jnp.float32),
       dy.astype(jnp.float32), g_pre, fmap_padded)
 
     if raw:
@@ -230,7 +262,7 @@ def corr_pallas(g_pre, fmap_padded, coords, tile_frame, interpret=False,
     return out.transpose(0, 4, 3, 1, 2)
 
 
-def corr_grouping_device(jj, mem):
+def corr_grouping_device(jj, mem, valid=None):
     """Device twin of the engine's host ``_corr_grouping_np``: sort edges
     by fmap ring slot and pad each slot's group to TILE multiples so the
     kernel sees frame-pure tiles.
@@ -238,22 +270,29 @@ def corr_grouping_device(jj, mem):
     jj (E,) int32 raw target-frame ids (rows past the live count may be
     stale — their output rows are never read, they only must not break
     frame purity, which sorting by slot guarantees).
-    Returns (perm (Es,), inv (E,), tile_frame (Es//TILE,)) int32 with
-    Es = E + mem*TILE, semantically equivalent to the host version:
-    perm[t*TILE:(t+1)*TILE] all target ring slot tile_frame[t], and
-    inv[e] gives edge e's row in the permuted table.
+    valid (E,) optional bool: invalid rows sort into a dedicated DEAD
+    group at the tail so the kernel can skip their tiles entirely
+    (n_live below); without it every row lands in a live group and
+    n_live covers the whole grid.
+    Returns (perm (Es,), inv (E,), tile_frame (Es//TILE,), n_live) int32
+    with Es = E + (mem+1)*TILE, semantically equivalent to the host
+    version: perm[t*TILE:(t+1)*TILE] all target ring slot tile_frame[t],
+    and inv[e] gives edge e's row in the permuted table.
     """
     E = jj.shape[0]
-    Es = E + mem * TILE
+    G = mem + 1                                       # + dead group
+    Es = E + G * TILE
     idx = jnp.arange(E, dtype=jnp.int32)
     slots = (jj % mem).astype(jnp.int32)
+    if valid is not None:
+        slots = jnp.where(valid, slots, mem)
     order = jnp.argsort(slots, stable=True).astype(jnp.int32)
     ss = slots[order]
 
     counts = jax.ops.segment_sum(jnp.ones((E,), jnp.int32), slots,
-                                 num_segments=mem)
+                                 num_segments=G)
     padded = ((counts + TILE - 1) // TILE) * TILE
-    cum_pad = jnp.cumsum(padded)                      # inclusive (mem,)
+    cum_pad = jnp.cumsum(padded)                      # inclusive (G,)
     offs = cum_pad - padded                           # exclusive
     cum_cnt = jnp.cumsum(counts)
     starts = cum_cnt - counts                         # unpadded starts
@@ -265,24 +304,26 @@ def corr_grouping_device(jj, mem):
     # per-group anchor row (first sorted row; empty groups borrow a real
     # row, keeping their — never-read — tiles frame-pure)
     first_idx = jnp.clip(starts, 0, E - 1)
-    anchor = order[first_idx]                         # (mem,)
-    aslot = ss[first_idx]
+    anchor = order[first_idx]                         # (G,)
+    aslot = jnp.minimum(ss[first_idx], mem - 1)       # dead group -> mem-1
 
     # defaults for pad rows / tail tiles, then scatter the real rows
     d_idx = jnp.arange(Es, dtype=jnp.int32)
     g_of = jnp.clip(jnp.searchsorted(cum_pad, d_idx, side="right"),
-                    0, mem - 1)
+                    0, G - 1)
     perm = anchor[g_of].at[dest].set(order)
     inv = jnp.zeros((E,), jnp.int32).at[order].set(dest)
     t_idx = jnp.arange(Es // TILE, dtype=jnp.int32) * TILE
     g_of_t = jnp.clip(jnp.searchsorted(cum_pad, t_idx, side="right"),
-                      0, mem - 1)
+                      0, G - 1)
     tile_frame = aslot[g_of_t]
-    return perm, inv, tile_frame
+    # tiles holding live rows: all live groups' padded extents
+    n_live = (cum_pad[mem - 1] // TILE).astype(jnp.int32)
+    return perm, inv, tile_frame, n_live
 
 
 def corr_grouped(gmap, fmap_padded, coords, kidx, tile_frame,
-                 interpret=False, version=3):
+                 n_live=None, interpret=False, version=3):
     """Convenience wrapper: gathers gmap rows then runs the kernel.
 
     gmap (K, 3, 3, C); fmap_padded (F, Hp, Wp, C);
@@ -292,4 +333,5 @@ def corr_grouped(gmap, fmap_padded, coords, kidx, tile_frame,
     C = gmap.shape[-1]
     g_pre = gmap[kidx].reshape(E, P2, C)
     return corr_pallas(g_pre, fmap_padded, coords, tile_frame,
-                       interpret=interpret, version=version)
+                       n_live=n_live, interpret=interpret,
+                       version=version)

@@ -218,9 +218,10 @@ def corr_f(e_num, poses, patches, gmap, fmap1, fmap2, eii, ejj, ekk):
                                 [[160., 160., 80., 60.]]), (N, 1)),
                             ii_s, jj_s, kk_s)
     coords2 = coords.transpose(0, 3, 1, 2)
-    perm, inv, tf = corr_grouping_device(jj_s, mem)
+    perm, inv, tf, n_live = corr_grouping_device(jj_s, mem, valid)
     feat = _corr_features_pallas(gmap, fmap1, fmap2, coords2,
-                                 kk_s % (M * pmem), perm, inv, tf)
+                                 kk_s % (M * pmem), perm, inv, tf,
+                                 n_live=n_live)
     return live_sum(feat)
 
 

@@ -136,13 +136,46 @@ def test_corr_grouping_device_matches_host_semantics():
     mem = 12
     for E in (64, 256):
         jj = rng.integers(0, 40, E).astype(np.int32)
-        perm, inv, tf = jax.jit(
+        perm, inv, tf, n_live = jax.jit(
             corr_grouping_device, static_argnums=1)(jnp.asarray(jj), mem)
         perm, inv, tf = np.asarray(perm), np.asarray(inv), np.asarray(tf)
-        Es = E + mem * TILE
+        Es = E + (mem + 1) * TILE
         assert len(perm) == Es and len(tf) == Es // TILE
         np.testing.assert_array_equal(perm[inv], np.arange(E))
         slots = jj % mem
-        for t in range(Es // TILE):
+        # without a valid mask every row is live and covered by n_live
+        assert (inv < int(n_live) * TILE).all()
+        for t in range(int(n_live)):
             rows = perm[t * TILE:(t + 1) * TILE]
             assert (slots[rows] == tf[t]).all(), t
+        assert (tf < mem).all()
+
+
+def test_corr_grouping_device_dead_tail():
+    """With a valid mask, stale rows group into skippable tail tiles:
+    every live row lands below n_live*TILE, tiles stay frame-pure, and
+    dead tiles never interleave with live ones."""
+    from dpvo_tpu.ops.corr_pallas import corr_grouping_device, TILE
+
+    rng = np.random.default_rng(7)
+    mem = 12
+    for E, e_num in ((64, 33), (256, 199), (128, 128)):
+        jj = rng.integers(0, 40, E).astype(np.int32)
+        valid = np.arange(E) < e_num
+        perm, inv, tf, n_live = jax.jit(
+            corr_grouping_device, static_argnums=1)(
+                jnp.asarray(jj), mem, jnp.asarray(valid))
+        perm, inv, tf = np.asarray(perm), np.asarray(inv), np.asarray(tf)
+        n_live = int(n_live)
+        Es = E + (mem + 1) * TILE
+        assert len(perm) == Es
+        np.testing.assert_array_equal(perm[inv], np.arange(E))
+        # live rows all within live tiles; dead rows all beyond
+        assert (inv[:e_num] < n_live * TILE).all()
+        assert (inv[e_num:] >= n_live * TILE).all()
+        assert (tf < mem).all()  # dead tiles clamp to a real ring slot
+        slots = jj % mem
+        for t in range(n_live):
+            rows = perm[t * TILE:(t + 1) * TILE]
+            live_rows = rows[rows < e_num] if e_num < E else rows
+            assert (slots[live_rows] == tf[t]).all(), t
