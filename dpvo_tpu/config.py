@@ -53,6 +53,12 @@ class VOConfig:
     # fetched as ONE vector read, so the RTT is amortized over the
     # batch (per-frame scalar fetches cap the frame rate at the fetch
     # throughput, ~2 concurrent RPCs per RTT through the tunnel).
+    # Batch-size trade-off: every frame of decision latency keeps one
+    # extra unmerged frame alive (inflating the steady edge count and
+    # per-frame device work), but a smaller batch doubles the fetch RPC
+    # rate and under continuous device load each fetch takes ~3x the
+    # idle RTT — measured: BATCH=2 collapsed the loop to ~16 FPS
+    # (force-blocked reads of 86ms) while BATCH=4 ran 30.7.
     ASYNC_KEYFRAME: bool = True
     ASYNC_KEYFRAME_LAG: int = 8
     ASYNC_KEYFRAME_BATCH: int = 4

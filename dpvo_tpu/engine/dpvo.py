@@ -990,6 +990,15 @@ class DPVO:
             for _ in range(12):
                 self.update()
         elif self.is_initialized:
+            # flush a full mag batch BEFORE dispatching this frame's
+            # update: the tiny stack lands ahead of the ~24ms update in
+            # the device queue, so its d2h fetch resolves one update
+            # earlier and decisions apply sooner (less lag -> fewer
+            # pending unmerged frames -> smaller steady edge bucket)
+            if (self.cfg.ASYNC_KEYFRAME and len(self._mag_pending)
+                    >= max(1, min(self.cfg.ASYNC_KEYFRAME_BATCH,
+                                  self.cfg.ASYNC_KEYFRAME_LAG))):
+                self._flush_mags()
             self.update()
             t_kf = self._tick()
             self.keyframe()

@@ -62,25 +62,30 @@ def _blocked_cumsum(x, B=512):
     return (within + prefix[ext]).reshape(x.shape)
 
 
-def _edge_terms_center(poses, patches, fx, fy, cx, cy, target, ii, jj, kk):
+def _edge_terms_center(poses, ctr, fx, fy, cx, cy, target, ii, jj, kk):
     """Per-edge residuals and Jacobians at the central patch pixel,
     literal rebuild of reprojection_residuals_and_hessian
     (ba_cuda.cu:265-333).
 
+    ctr (K, 3) holds each patch's CENTER [x, y, depth] — a compact
+    row-major table the per-edge gathers stream from.  Gathering the
+    same three scalars from the full (K, 3, P, P) patch table costs
+    ~0.75 ms each at E=20k because XLA lays that table out lane-major
+    (dim0 minor) for the in-place depth updates.
+
     Returns r (E,2), w_mask (E,), Ji (E,2,6), Jj (E,2,6), Jz (E,2).
     """
-    P = patches.shape[-1]
-    c = P // 2
     gi = poses[ii]
     gj = poses[jj]
     Gij = lie.se3_mul(gj, lie.se3_inv(gi))
     tij, qij = Gij[:, :3], Gij[:, 3:7]
 
+    ce = ctr[kk]                                            # (E, 3)
     Xi = jnp.stack([
-        (patches[kk, 0, c, c] - cx) / fx,
-        (patches[kk, 1, c, c] - cy) / fy,
-        jnp.ones_like(patches[kk, 2, c, c]),
-        patches[kk, 2, c, c],
+        (ce[:, 0] - cx) / fx,
+        (ce[:, 1] - cy) / fy,
+        jnp.ones_like(ce[:, 2]),
+        ce[:, 2],
     ], axis=-1)
     Xj = lie.se3_act4(Gij, Xi)
     X, Y, Z, W = Xj[:, 0], Xj[:, 1], Xj[:, 2], Xj[:, 3]
@@ -194,11 +199,13 @@ def ba_iterative(poses, patches, intrinsics, target, weight, lmbda,
         jnp.arange(k_cap, dtype=jnp.int32), mode="drop")
     hit_k = jnp.zeros((K,), bool).at[kx].set(True, mode="drop")
 
+    ctr0 = patches[:, :, P // 2, P // 2]                    # (K, 3)
+
     def iteration(_, state):
-        poses, patches = state
+        poses, patches, ctr = state
 
         r, mask, Ji, Jj, Jz = _edge_terms_center(
-            poses, patches, fx, fy, cx, cy, target, ii, jj, kk)
+            poses, ctr, fx, fy, cx, cy, target, ii, jj, kk)
 
         w = mask[:, None] * weight * valid[:, None]         # (E, 2)
 
@@ -283,11 +290,13 @@ def ba_iterative(poses, patches, intrinsics, target, weight, lmbda,
         depth = jnp.where(hit_k[:, None, None],
                           d_new[slot_of_k][:, None, None], patches[:, 2])
         patches = patches.at[:, 2].set(depth)
+        ctr = ctr.at[:, 2].set(
+            jnp.where(hit_k, d_new[slot_of_k], ctr[:, 2]))
 
-        return poses, patches
+        return poses, patches, ctr
 
-    poses, patches = jax.lax.fori_loop(0, iterations, iteration,
-                                       (poses, patches))
+    poses, patches, _ = jax.lax.fori_loop(0, iterations, iteration,
+                                          (poses, patches, ctr0))
     return poses, patches
 
 
@@ -335,11 +344,13 @@ def ba_iterative_sharded(poses, patches, intrinsics, target, weight, lmbda,
                             num_segments=k_cap + 1)[:k_cap], axis_name)
     touched = (cnt > 0) & (slot_rows < K)
 
+    ctr0 = patches[:, :, P // 2, P // 2]                    # (K, 3)
+
     def iteration(_, state):
-        poses, patches = state
+        poses, patches, ctr = state
 
         r, mask, Ji, Jj, Jz = _edge_terms_center(
-            poses, patches, fx, fy, cx, cy, target, ii, jj, kk)
+            poses, ctr, fx, fy, cx, cy, target, ii, jj, kk)
         w = mask[:, None] * weight * in_rng[:, None]        # (E, 2)
 
         li = ii - t0
@@ -407,10 +418,13 @@ def ba_iterative_sharded(poses, patches, intrinsics, target, weight, lmbda,
         patches = patches.at[slot_rows, 2].set(
             jnp.broadcast_to(d_new[:, None, None], (k_cap, P, P)),
             mode="drop")
+        ctr = ctr.at[slot_rows, 2].set(d_new, mode="drop")
 
-        return poses, patches
+        return poses, patches, ctr
 
-    return jax.lax.fori_loop(0, iterations, iteration, (poses, patches))
+    poses, patches, _ = jax.lax.fori_loop(0, iterations, iteration,
+                                          (poses, patches, ctr0))
+    return poses, patches
 
 
 # ---------------------------------------------------------------------------
@@ -592,10 +606,12 @@ def ba_global(poses, patches, intrinsics, target, weight, lmbda,
     kx, ku = scatter.compactify(kk_m, size=k_cap)
     k_real = kx != _INT_MAX
 
+    ctr0 = patches[:, :, P // 2, P // 2]                    # (K, 3)
+
     def iteration(_, state):
-        poses, patches = state
+        poses, patches, ctr = state
         r, mask, Ji, Jj, Jz = _edge_terms_center(
-            poses, patches, fx, fy, cx, cy, target, ii, jj, kk)
+            poses, ctr, fx, fy, cx, cy, target, ii, jj, kk)
         w = mask[:, None] * weight * valid[:, None]          # (E, 2)
 
         li = ii - t0
@@ -723,8 +739,9 @@ def ba_global(poses, patches, intrinsics, target, weight, lmbda,
         patches = patches.at[kx_c, 2].set(
             jnp.broadcast_to(d_new[:, None, None], (k_cap, P, P)),
             mode="drop")
-        return poses, patches
+        ctr = ctr.at[kx_c, 2].set(d_new, mode="drop")
+        return poses, patches, ctr
 
-    poses, patches = jax.lax.fori_loop(0, iterations, iteration,
-                                       (poses, patches))
+    poses, patches, _ = jax.lax.fori_loop(0, iterations, iteration,
+                                          (poses, patches, ctr0))
     return poses, patches
