@@ -6,14 +6,13 @@ on CPU; multi-chip sharding tests use 8 virtual CPU devices.
 """
 import os
 
-# NOTE: the environment ships with JAX_PLATFORMS=axon (a remote TPU
-# backend) and ALL compiles — cpu included — route through its serialized
-# remote compile service.  Forcing cpu here would recompile the entire
-# suite into a cold cache for no isolation benefit, so tests run on
-# whatever platform the environment provides; test configs pin
-# CORR_BACKEND="xla" so the Mosaic kernel is exercised only by its
-# dedicated interpret-mode tests (test_corr_pallas.py) and on-TPU checks.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: the environment's sitecustomize (.axon_site on PYTHONPATH)
+# overrides jax_platforms to "axon,cpu", so a JAX_PLATFORMS env default
+# is silently ignored and the suite would run against the ONE remote
+# TPU chip — slow (every dispatch rides a tunnel), contended (bench
+# runs share the chip), and wrong for mesh tests (make_mesh(8) needs 8
+# devices).  jax.config.update AFTER import wins over the
+# sitecustomize; the multi-chip tests then see 8 virtual CPU devices.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -21,5 +20,7 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_enable_x64", False)

@@ -118,8 +118,11 @@ def test_sharded_update_matches_single_device(setup):
                                                            outs)
 
     # poses/patches are replicated outputs — must match the 1-device run
+    # atol covers f32 accumulation-order differences between the
+    # sharded psum partials and the single-device einsums (the BA
+    # center-table change permutes the contraction order slightly)
     np.testing.assert_allclose(poses2, np.asarray(poses1),
-                               atol=2e-5, rtol=1e-4)
+                               atol=1e-4, rtol=2e-4)
     # depths are ~O(10); psum reduction order perturbs the last ~3 ulps
     np.testing.assert_allclose(patches2, np.asarray(patches1),
                                atol=2e-3, rtol=5e-4)
