@@ -199,24 +199,23 @@ def _corr_features_pallas(gmap_buf, fmap1_buf, fmap2_buf, coords2, kk_mod,
     corr_inv (E,) maps table rows back; tile_frame (Es//TILE,) gives the
     fmap ring slot per tile; n_live counts the live tiles (stale rows
     group to the tail and their tiles are skipped in-kernel).
-    The kernel emits the compute dtype directly (the corr encoder casts
-    immediately anyway), so no separate f32->bf16 relayout copy.
-    (A lazy pair form feeding CorrDense's split-kernel path was tried
-    and measured 2.2 ms SLOWER at E=16k than materializing the
-    interleaved array — XLA lays out the two (Es, 441) matmuls worse
-    than one fused interleave + (E, 882) matmul.)"""
+
+    Both levels run in ONE fused grid pass (corr_pallas_fused) emitting
+    the compute dtype in the raw (level, p, dy, dx) layout, and the
+    result is handed to CorrDense's raw form: the corr encoder permutes
+    its kernel ROWS (matmul-exact) instead of transposing/interleaving
+    the feature array — measured 9.7 -> 8.6 ms for the corr block at
+    Es=15k (the old ref-layout path paid two bf16 relayout copies plus
+    the interleave)."""
     C = gmap_buf.shape[-1]
     Es = corr_perm.shape[0]
     coords_s = coords2[corr_perm]                        # (Es, 2, P, P)
     kk_s = kk_mod[corr_perm]
     g_pre = gmap_buf[kk_s].reshape(Es, cp.P2, C)
     dt = gmap_buf.dtype
-    c1 = cp.corr_pallas(g_pre, fmap1_buf, coords_s, tile_frame,
-                        n_live=n_live, out_dtype=dt)
-    c2 = cp.corr_pallas(g_pre, fmap2_buf, coords_s / 4.0, tile_frame,
-                        n_live=n_live, out_dtype=dt)
-    feat = jnp.stack([c1, c2], axis=-1).reshape(Es, -1)
-    return feat[corr_inv]                                # (E, 882)
+    out = cp.corr_pallas_fused(g_pre, fmap1_buf, fmap2_buf, coords_s,
+                               tile_frame, n_live=n_live, out_dtype=dt)
+    return ("raw", out.reshape(Es, -1), corr_inv)
 
 
 def _update_core(params, poses, patches_buf, intrinsics_buf,

@@ -35,12 +35,12 @@ class CorrDense(nn.Module):
     the corr-sorted edge table; kernel ROWS are reordered to match
     (matmul row reindexing is exact).
 
-    Measured note: the engine uses the ARRAY form — both lazy variants
-    (two-level split and raw layout) benched ~2 ms SLOWER at E=16k
-    than materializing the interleaved array, because XLA fuses the
-    transpose+interleave+gather chain better than it lays out matmuls
-    reading Pallas outputs directly.  The raw form is kept (tested) for
-    layout experiments.
+    Measured note: with the fused two-level kernel emitting bf16 in raw
+    layout, the raw form WINS: 9.7 -> 8.6 ms for the corr block at
+    Es=15k (the ref-layout path paid two bf16 relayout copies + the
+    interleave before the matmul; an earlier f32 two-call variant of
+    the raw path had measured 2 ms slower).  The engine's Pallas path
+    passes the tuple form; the XLA path passes the interleaved array.
     """
     features: int
     dtype: jnp.dtype = jnp.float32

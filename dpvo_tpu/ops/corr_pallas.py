@@ -158,6 +158,56 @@ def _kernel_v3(tile_frame_ref, nlive_ref, x0_ref, y0_ref, ri_ref, dx_ref,
                     axis=1).astype(out_ref.dtype)              # (7, 7)
 
 
+def _kernel_fused(tile_frame_ref, nlive_ref,
+                  x0a_ref, y0a_ref, ria_ref, dxa_ref, dya_ref,
+                  x0b_ref, y0b_ref, rib_ref, dxb_ref, dyb_ref,
+                  g_ref, fmap1_ref, fmap2_ref, out_ref):
+    """Both pyramid levels in one grid pass: per (edge, pixel) the g row
+    is loaded once and the two levels' tap/blend chains interleave,
+    doubling instruction-level parallelism for the VPU pipeline and
+    halving the per-call/grid overheads of two separate kernels.
+
+    out (TILE, 2, P2, 7, 7) in the raw (level, p, dy, dx) order that
+    raw_to_ref_perm maps onto the corr encoder's kernel rows."""
+    f32 = jnp.float32
+
+    @pl.when(pl.program_id(0) >= nlive_ref[0])
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(pl.program_id(0) < nlive_ref[0])
+    def _():
+        rows = jax.lax.broadcasted_iota(jnp.int32, (D, D - 1), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (D, D - 1), 1)
+
+        def taps77(fmap_ref, x0_ref, y0_ref, ri_ref, dx_ref, dy_ref,
+                   e, p, g):
+            y0 = y0_ref[e, p]
+            x0 = pl.multiple_of(x0_ref[e, p], 8)
+            win = fmap_ref[0, pl.ds(y0, D), pl.ds(x0, DW), :]
+            rr = ri_ref[e, p]
+            win8 = pltpu.roll(win.astype(f32), -rr,
+                              axis=1)[:, :D, :]                # (8,8,C)
+            taps = jnp.sum(win8 * g[None, None, :], axis=2)    # (8, 8)
+            dyv = dy_ref[e, p]
+            ty = (1 - dyv) * taps[:-1, :] + dyv * taps[1:, :]
+            dxv = dx_ref[e, p]
+            bx_mat = (jnp.where(rows == cols, 1.0 - dxv, 0.0)
+                      + jnp.where(rows == cols + 1, dxv, 0.0))
+            return jnp.sum(ty[:, :, None] * bx_mat[None, :, :],
+                           axis=1)                             # (7, 7)
+
+        for e in range(TILE):
+            for p in range(P2):
+                g = g_ref[e, p].astype(f32)                    # (C,)
+                out_ref[e, 0, p] = taps77(
+                    fmap1_ref, x0a_ref, y0a_ref, ria_ref, dxa_ref,
+                    dya_ref, e, p, g).astype(out_ref.dtype)
+                out_ref[e, 1, p] = taps77(
+                    fmap2_ref, x0b_ref, y0b_ref, rib_ref, dxb_ref,
+                    dyb_ref, e, p, g).astype(out_ref.dtype)
+
+
 RAW_DIM = P2 * (D - 1) * (D - 1)   # per-level feature dim (441)
 
 
@@ -260,6 +310,77 @@ def corr_pallas(g_pre, fmap_padded, coords, tile_frame, n_live=None,
     # (E, p, dy, dx) -> (E, x_off, y_off, py, px)
     out = out.reshape(E, 3, 3, D - 1, D - 1)
     return out.transpose(0, 4, 3, 1, 2)
+
+
+def _window_meta(coords, Hp, Wp):
+    """(E, 2, P, P) float coords -> SMEM metadata arrays (x0, by, ri,
+    dx, dy), each (E, P2); see corr_pallas for the alignment rules."""
+    E = coords.shape[0]
+    coords = coords.astype(jnp.float32)
+    cx = coords[:, 0].reshape(E, P2)
+    cy = coords[:, 1].reshape(E, P2)
+    bx_f = jnp.floor(cx)
+    by_f = jnp.floor(cy)
+    dx = cx - bx_f
+    dy = cy - by_f
+    bx = jnp.clip(bx_f.astype(jnp.int32) + PAD - R, 0, Wp - D)
+    by = jnp.clip(by_f.astype(jnp.int32) + PAD - R, 0, Hp - D)
+    x0 = jnp.minimum((bx // 8) * 8, Wp - DW)
+    ri = (bx - x0).astype(jnp.int32)
+    return x0, by, ri, dx, dy
+
+
+@partial(jax.jit, static_argnames=("interpret", "out_dtype"))
+def corr_pallas_fused(g_pre, fmap1_padded, fmap2_padded, coords,
+                      tile_frame, n_live=None, interpret=False,
+                      out_dtype=None):
+    """Two-level correlation in ONE grid pass (see _kernel_fused).
+
+    coords are level-1 pixel coords; level 2 samples fmap2 at coords/4
+    (ref dpvo.py:200-207).  Returns (E, 2, P2, 7, 7) in the raw
+    (level, p, dy, dx) order — reshape(E, 882) feeds CorrDense's raw
+    path (kernel rows permuted by raw_to_ref_perm, matmul-exact).
+    """
+    E, _, C = g_pre.shape
+    F, Hp1, Wp1, _ = fmap1_padded.shape
+    _, Hp2, Wp2, _ = fmap2_padded.shape
+    assert E % TILE == 0, E
+    n_tiles = E // TILE
+    if n_live is None:
+        n_live = jnp.full((1,), n_tiles, jnp.int32)
+    else:
+        n_live = jnp.asarray(n_live, jnp.int32).reshape(1)
+    out_dtype = out_dtype or jnp.float32
+
+    x0a, bya, ria, dxa, dya = _window_meta(coords, Hp1, Wp1)
+    x0b, byb, rib, dxb, dyb = _window_meta(coords / 4.0, Hp2, Wp2)
+
+    smem = dict(memory_space=pltpu.SMEM)
+    sspec = pl.BlockSpec((TILE, P2), lambda i, tf, nl: (i, 0), **smem)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[sspec] * 10 + [
+            pl.BlockSpec((TILE, P2, C), lambda i, tf, nl: (i, 0, 0)),
+            pl.BlockSpec((1, Hp1, Wp1, C),
+                         lambda i, tf, nl: (tf[i], 0, 0, 0)),
+            pl.BlockSpec((1, Hp2, Wp2, C),
+                         lambda i, tf, nl: (tf[i], 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((TILE, 2, P2, D - 1, D - 1),
+                               lambda i, tf, nl: (i, 0, 0, 0, 0)),
+    )
+
+    return pl.pallas_call(
+        _kernel_fused,
+        out_shape=jax.ShapeDtypeStruct((E, 2, P2, D - 1, D - 1),
+                                       out_dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tile_frame, n_live, x0a, bya, ria,
+      dxa.astype(jnp.float32), dya.astype(jnp.float32),
+      x0b, byb, rib, dxb.astype(jnp.float32), dyb.astype(jnp.float32),
+      g_pre, fmap1_padded, fmap2_padded)
 
 
 def corr_grouping_device(jj, mem, valid=None):

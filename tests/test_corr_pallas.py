@@ -65,3 +65,42 @@ def test_border_windows_match(version):
                           interpret=True, version=version)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-3, rtol=1e-3)
+
+
+def test_fused_two_level_matches_two_calls():
+    """corr_pallas_fused == two corr_pallas calls (levels stacked), and
+    its raw layout is matmul-equivalent to the reference layout under
+    the raw_to_ref_perm row permutation (CorrDense's raw path)."""
+    rng = np.random.default_rng(1)
+    F, H, W, C = 5, 32, 48, 128
+    fmap1 = jnp.asarray(rng.normal(size=(F, H, W, C)), jnp.float32)
+    fmap2 = jnp.asarray(rng.normal(size=(F, H // 2, W // 2, C)),
+                        jnp.float32)
+    f1p, f2p = cp.pad_fmap(fmap1), cp.pad_fmap(fmap2)
+    E = 64
+    g = jnp.asarray(rng.normal(size=(E, 9, C)), jnp.float32)
+    coords = jnp.asarray(rng.uniform(-4, 40, (E, 2, 3, 3)), jnp.float32)
+    tf = jnp.asarray(np.sort(rng.integers(0, F, E // cp.TILE)), jnp.int32)
+    nl = jnp.full((1,), 3, jnp.int32)   # last tile dead
+
+    fused = cp.corr_pallas_fused(g, f1p, f2p, coords, tf, n_live=nl,
+                                 interpret=True)
+    c1 = cp.corr_pallas(g, f1p, coords, tf, n_live=nl, interpret=True,
+                        raw=True)
+    c2 = cp.corr_pallas(g, f2p, coords / 4.0, tf, n_live=nl,
+                        interpret=True, raw=True)
+    np.testing.assert_array_equal(np.asarray(fused),
+                                  np.asarray(jnp.stack([c1, c2], 1)))
+    # dead tail tiles are zero
+    assert not np.asarray(fused)[3 * cp.TILE:].any()
+
+    # raw-order matmul equivalence: feat_raw @ W[perm] == feat_ref @ W
+    feat_raw = np.asarray(fused).reshape(E, -1)
+    r1 = cp.corr_pallas(g, f1p, coords, tf, n_live=nl, interpret=True)
+    r2 = cp.corr_pallas(g, f2p, coords / 4.0, tf, n_live=nl,
+                        interpret=True)
+    feat_ref = np.asarray(jnp.stack([r1, r2], -1).reshape(E, -1))
+    Wm = rng.normal(size=(2 * cp.RAW_DIM, 8)).astype(np.float32)
+    perm = np.asarray(cp.raw_to_ref_perm())
+    np.testing.assert_allclose(feat_raw @ Wm[perm], feat_ref @ Wm,
+                               atol=2e-3)
