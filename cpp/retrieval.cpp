@@ -26,6 +26,9 @@
 #include <unordered_map>
 #include <algorithm>
 #include <random>
+#include <fstream>
+#include <sstream>
+#include <string>
 
 namespace {
 
@@ -63,10 +66,10 @@ Desc bit_median(const std::vector<const Desc*>& ds) {
 
 struct Node {
   Desc centroid;
-  int children[16];   // branching factor <= 16
-  int n_children = 0;
-  int word_id = -1;   // leaf word index, -1 for internal
-  float weight = 0.f; // idf weight (leaves)
+  std::vector<int> children;  // DBoW2 text vocabs allow k up to 20
+  int parent = -1;            // for text-format save
+  int word_id = -1;           // leaf word index, -1 for internal
+  float weight = 0.f;         // idf weight (leaves)
 };
 
 struct BowVector : std::map<int, float> {
@@ -150,9 +153,10 @@ struct Retrieval {
       if (sub.empty()) continue;
       int child = build_level(sub, level + 1);
       // note: recursion may reallocate `nodes`; re-index via idx each time
-      nodes[idx].children[nodes[idx].n_children++] = child;
+      nodes[idx].children.push_back(child);
+      nodes[child].parent = idx;
     }
-    if (nodes[idx].n_children == 0) nodes[idx].word_id = n_words++;
+    if (nodes[idx].children.empty()) nodes[idx].word_id = n_words++;
     return idx;
   }
 
@@ -169,27 +173,33 @@ struct Retrieval {
     trained = true;
   }
 
-  int word_of(const Desc& d) const {
+  // leaf NODE index for a descriptor (descend by hamming distance)
+  int leaf_of(const Desc& d) const {
     int cur = 0;
     while (nodes[cur].word_id < 0) {
       int best = -1, bd = 1 << 30;
-      for (int c = 0; c < nodes[cur].n_children; c++) {
-        int child = nodes[cur].children[c];
+      for (int child : nodes[cur].children) {
         int dist = hamming(d, nodes[child].centroid);
         if (dist < bd) { bd = dist; best = child; }
       }
       if (best < 0) break;
       cur = best;
     }
-    return nodes[cur].word_id;
+    return cur;
   }
+
+  int word_of(const Desc& d) const { return nodes[leaf_of(d)].word_id; }
 
   BowVector transform(const uint8_t* descs, int n) const {
     BowVector v;
     const Desc* d = reinterpret_cast<const Desc*>(descs);
     for (int i = 0; i < n; i++) {
-      int w = word_of(d[i]);
-      if (w >= 0) v.add(w, 1.0f);
+      const Node& leaf = nodes[leaf_of(d[i])];
+      // TF-IDF: term frequency x stored idf weight (DBoW2
+      // TemplatedVocabulary::transform with WeightingType::TF_IDF);
+      // online-trained vocabs use weight 1 (plain TF)
+      if (leaf.word_id >= 0 && leaf.weight > 0.f)
+        v.add(leaf.word_id, leaf.weight);
     }
     v.normalize_l1();
     return v;
@@ -218,6 +228,77 @@ struct Retrieval {
       images[i] = v;
       for (auto& kv : v) inverted[kv.first].push_back((int)i);
     }
+  }
+
+  // --- DBoW2 text-format vocabulary IO ---
+  // Format (ref modules/DBoW2/include/DBoW2/TemplatedVocabulary.h
+  // loadFromTextFile/saveToTextFile): header "k L scoring weighting",
+  // then one line per non-root node in id order:
+  //   parent_id is_leaf b0 b1 ... b31 weight
+  // Node ids are implicit (line order, root = 0); word ids are assigned
+  // in leaf encounter order.  This is the format of the reference's
+  // pretrained ORB vocabulary (ORBvoc.txt).
+  bool load_vocab_text(const char* path) {
+    std::ifstream f(path);
+    if (!f.is_open()) return false;
+    std::string line;
+    if (!std::getline(f, line)) return false;
+    {
+      std::istringstream ss(line);
+      int k = -1, L = -1, n1 = -1, n2 = -1;
+      ss >> k >> L >> n1 >> n2;
+      if (k < 0 || k > 20 || L < 1 || L > 10 || n1 < 0 || n1 > 5 ||
+          n2 < 0 || n2 > 3)
+        return false;  // not a DBoW2 text vocabulary
+      branching = k;
+      depth = L;
+    }
+    nodes.clear();
+    n_words = 0;
+    nodes.emplace_back();  // root
+    while (std::getline(f, line)) {
+      if (line.empty()) continue;
+      std::istringstream ss(line);
+      int pid = -1, is_leaf = 0;
+      ss >> pid >> is_leaf;
+      if (pid < 0 || pid >= (int)nodes.size()) return false;
+      int nid = (int)nodes.size();
+      nodes.emplace_back();
+      Node& nd = nodes.back();
+      nd.parent = pid;
+      for (int b = 0; b < DESC_BYTES; b++) {
+        int v = 0;
+        if (!(ss >> v)) return false;
+        nd.centroid.d[b] = (uint8_t)v;
+      }
+      double w = 0.0;
+      ss >> w;
+      nd.weight = (float)w;
+      nodes[pid].children.push_back(nid);
+      if (is_leaf > 0) nd.word_id = n_words++;
+    }
+    trained = n_words > 0;
+    return trained;
+  }
+
+  bool save_vocab_text(const char* path) const {
+    std::ofstream f(path);
+    if (!f.is_open()) return false;
+    // scoring=0 (L1_NORM), weighting=0 (TF_IDF) — DBoW2's defaults and
+    // what this module implements
+    f << branching << " " << depth << " " << 0 << " " << 0 << "\n";
+    // nodes must be written in id order with parent ids smaller than
+    // child ids; build_level emits exactly that order (parent created
+    // before its children), so node index order works for both
+    // trained and loaded vocabularies
+    for (size_t i = 1; i < nodes.size(); i++) {
+      const Node& nd = nodes[i];
+      f << nd.parent << " " << (nd.word_id >= 0 ? 1 : 0);
+      for (int b = 0; b < DESC_BYTES; b++)
+        f << " " << (int)nd.centroid.d[b];
+      f << " " << nd.weight << "\n";
+    }
+    return true;
   }
 
   // best match at least `min_gap` ids away (ref DPRetrieval `rad`)
@@ -277,6 +358,28 @@ void retrieval_query(void* h, const uint8_t* descs, int n, int qid,
 
 int retrieval_num_images(void* h) {
   return (int)static_cast<Retrieval*>(h)->raw.size();
+}
+
+// Load a DBoW2 text-format vocabulary (e.g. the reference's pretrained
+// ORBvoc.txt).  Returns the word count, or -1 on parse/open failure.
+// Re-indexes any images already added with the new vocabulary.
+int retrieval_load_vocab(void* h, const char* path) {
+  auto* r = static_cast<Retrieval*>(h);
+  if (!r->load_vocab_text(path)) return -1;
+  r->reindex();
+  return r->n_words;
+}
+
+// Save the current vocabulary in DBoW2 text format.  Returns 0 on
+// success, -1 on failure (untrained or unwritable path).
+int retrieval_save_vocab(void* h, const char* path) {
+  auto* r = static_cast<Retrieval*>(h);
+  if (!r->trained) return -1;
+  return r->save_vocab_text(path) ? 0 : -1;
+}
+
+int retrieval_num_words(void* h) {
+  return static_cast<Retrieval*>(h)->n_words;
 }
 
 }  // extern "C"

@@ -80,6 +80,10 @@ class VOConfig:
     CLASSIC_LOOP_CLOSURE: bool = False
     LOOP_CLOSE_WINDOW_SIZE: int = 3
     LOOP_RETR_THRESH: float = 0.04
+    # path to a pretrained DBoW2 text-format ORB vocabulary (the
+    # reference's ORBvoc.txt, ref retrieval_dbow.py:31-34); "" trains
+    # the vocabulary online from the session's first frames instead
+    LOOP_VOCAB_PATH: str = ""
 
     # --- TPU-specific knobs (no reference equivalent) ---
     # static edge-table capacities; XLA shapes are fixed at these values.

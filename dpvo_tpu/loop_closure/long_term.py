@@ -46,7 +46,9 @@ class LongTermLoopClosure:
     def __init__(self, cfg, slam):
         self.cfg = cfg
         self.slam = slam
-        self.retrieval = RetrievalDBOW(thresh=cfg.LOOP_RETR_THRESH)
+        self.retrieval = RetrievalDBOW(
+            thresh=cfg.LOOP_RETR_THRESH,
+            vocab_path=getattr(cfg, "LOOP_VOCAB_PATH", "") or None)
         self.imcache = ImageCache()
 
         ctx = mp.get_context("spawn")

@@ -47,6 +47,14 @@ def _load_lib():
                 ctypes.POINTER(ctypes.c_float)]
             lib.retrieval_num_images.argtypes = [ctypes.c_void_p]
             lib.retrieval_num_images.restype = ctypes.c_int
+            lib.retrieval_load_vocab.argtypes = [ctypes.c_void_p,
+                                                 ctypes.c_char_p]
+            lib.retrieval_load_vocab.restype = ctypes.c_int
+            lib.retrieval_save_vocab.argtypes = [ctypes.c_void_p,
+                                                 ctypes.c_char_p]
+            lib.retrieval_save_vocab.restype = ctypes.c_int
+            lib.retrieval_num_words.argtypes = [ctypes.c_void_p]
+            lib.retrieval_num_words.restype = ctypes.c_int
             return lib
     return None
 
@@ -112,6 +120,30 @@ class BinaryBoW:
             self._py.train(descs)
         self._pending = []
 
+    def load_vocab(self, path):
+        """Load a DBoW2 text-format vocabulary (e.g. the reference's
+        pretrained ORBvoc.txt, ref retrieval_dbow.py:31-34 /
+        DPRetrieval main.cpp:49-63).  Returns the word count.  Frames
+        already added are re-indexed with the loaded vocabulary."""
+        if self._lib is not None:
+            n = self._lib.retrieval_load_vocab(
+                self._h, str(path).encode())
+            if n < 0:
+                raise IOError(f"failed to load DBoW2 vocabulary: {path}")
+        else:
+            n = self._py.load_vocab(path)
+        self._pending = []
+        return n
+
+    def save_vocab(self, path):
+        """Write the current vocabulary in DBoW2 text format."""
+        if self._lib is not None:
+            if self._lib.retrieval_save_vocab(self._h,
+                                              str(path).encode()) != 0:
+                raise IOError(f"failed to save vocabulary to {path}")
+        else:
+            self._py.save_vocab(path)
+
     def query(self, descs, qid, min_gap=20):
         """-> (best_image_id or -1, score)."""
         if not self.trained or descs is None or len(descs) == 0:
@@ -175,7 +207,9 @@ class _PyBoW:
                 sel = items[assign == c]
                 if len(sel) == 0:
                     continue
-                node["children"].append(build(sel, level + 1))
+                child = build(sel, level + 1)
+                node["children"].append(child)
+                self.tree[child]["parent"] = idx
             if not node["children"]:
                 node["word"] = idx
             return idx
@@ -184,6 +218,49 @@ class _PyBoW:
         self.trained = True
         for i, d in list(self.raw.items()):
             self._index(i, d)
+
+    def load_vocab(self, path):
+        """Parse a DBoW2 text-format vocabulary into the fallback tree
+        (same format as cpp/retrieval.cpp load_vocab_text; fallback
+        scores plain TF instead of TF-IDF)."""
+        with open(path) as f:
+            header = f.readline().split()
+            k, L = int(header[0]), int(header[1])
+            if not (0 <= k <= 20 and 1 <= L <= 10):
+                raise IOError(f"not a DBoW2 text vocabulary: {path}")
+            self.branching, self.depth = k, L
+            self.tree = [{"centroid": np.zeros(256, np.uint8),
+                          "children": [], "word": -1, "parent": -1}]
+            n_words = 0
+            for line in f:
+                parts = line.split()
+                if not parts:
+                    continue
+                pid, is_leaf = int(parts[0]), int(parts[1])
+                byts = np.array([int(x) for x in parts[2:2 + 32]],
+                                np.uint8)
+                idx = len(self.tree)
+                self.tree.append(
+                    {"centroid": np.unpackbits(byts), "children": [],
+                     "word": idx if is_leaf else -1, "parent": pid})
+                self.tree[pid]["children"].append(idx)
+                n_words += is_leaf
+        self.trained = n_words > 0
+        self.bow, self.inverted = {}, {}
+        for i, d in list(self.raw.items()):
+            if len(d):
+                self._index(i, d)
+        return n_words
+
+    def save_vocab(self, path):
+        with open(path, "w") as f:
+            f.write(f"{self.branching} {self.depth} 0 0\n")
+            for i in range(1, len(self.tree)):
+                nd = self.tree[i]
+                byts = np.packbits(nd["centroid"])
+                f.write(f"{nd.get('parent', 0)} "
+                        f"{1 if nd['word'] >= 0 else 0} "
+                        + " ".join(str(int(b)) for b in byts) + " 1\n")
 
     def _word(self, bit):
         cur = 0

@@ -28,11 +28,15 @@ def _orb_descriptors(image, n_features=1000):
     return pts, descs
 
 
-def _dbow_loop(in_queue, out_queue, min_gap):
+def _dbow_loop(in_queue, out_queue, min_gap, vocab_path=None):
     """Child process: consume frames, produce (query_id, match_id, score)
     (ref retrieval_dbow.py:18-26)."""
     from .dbow import BinaryBoW
     bow = BinaryBoW()
+    if vocab_path:
+        # pretrained DBoW2 text vocabulary (ref retrieval_dbow.py:31-34
+        # loads ORBvoc.txt) — no online cold-start window
+        bow.load_vocab(vocab_path)
     while True:
         item = in_queue.get()
         if item is None:
@@ -45,7 +49,8 @@ def _dbow_loop(in_queue, out_queue, min_gap):
 
 
 class RetrievalDBOW:
-    def __init__(self, min_gap=20, thresh=0.04, num_repeat=3):
+    def __init__(self, min_gap=20, thresh=0.04, num_repeat=3,
+                 vocab_path=None):
         self.min_gap = min_gap
         self.thresh = thresh
         self.num_repeat = num_repeat
@@ -55,7 +60,7 @@ class RetrievalDBOW:
         self.out_queue = ctx.Queue()
         self.proc = ctx.Process(target=_dbow_loop,
                                 args=(self.in_queue, self.out_queue,
-                                      min_gap), daemon=True)
+                                      min_gap, vocab_path), daemon=True)
         self.proc.start()
 
         self.found = []            # accepted closures [(i, j)]

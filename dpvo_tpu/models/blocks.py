@@ -56,6 +56,27 @@ def _grad_zero_bwd(_, g):
 grad_zero.defvjp(_grad_zero_fwd, _grad_zero_bwd)
 
 
+@jax.custom_vjp
+def grad_mag(x):
+    """Identity fwd; bwd prints mean |grad| (ref blocks.py:110-118
+    GradMag — a debug probe, unused by the reference model itself).
+    Wrap any intermediate with it to see that tensor's incoming
+    gradient magnitude during training."""
+    return x
+
+
+def _grad_mag_fwd(x):
+    return x, None
+
+
+def _grad_mag_bwd(_, g):
+    jax.debug.print("grad_mag: {m}", m=jnp.mean(jnp.abs(g)))
+    return (g,)
+
+
+grad_mag.defvjp(_grad_mag_fwd, _grad_mag_bwd)
+
+
 # --- modules ---------------------------------------------------------------
 
 class GatedResidual(nn.Module):

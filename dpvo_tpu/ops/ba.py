@@ -319,6 +319,11 @@ def ba_iterative_sharded(poses, patches, intrinsics, target, weight, lmbda,
     ``kk - k_lo`` (k_lo = mesh-wide min live patch id) instead of the
     sorted compaction, which requires the live patch span to fit k_cap —
     true for the windowed tracking loop (PATCH_LIFETIME * M << k_cap).
+    Edges whose ``kk - k_lo`` falls outside k_cap are zero-weighted in
+    here (static shapes forbid raising inside shard_map); callers must
+    validate the span on the host first —
+    ``parallel.infer_step.shard_edges_by_patch(..., k_cap=...)`` raises
+    on overflow before any device work is dispatched.
     """
     poses = jnp.asarray(poses, jnp.float32)
     patches = jnp.asarray(patches, jnp.float32)

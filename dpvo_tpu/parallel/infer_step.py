@@ -35,7 +35,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 _INT_MAX = jnp.iinfo(jnp.int32).max
 
 
-def shard_edges_by_patch(ii, jj, kk, n_shards, e_shard=None):
+def shard_edges_by_patch(ii, jj, kk, n_shards, e_shard=None, k_cap=None):
     """Partition edges into ``n_shards`` equal slices without splitting
     a patch group (host-side, numpy).
 
@@ -49,9 +49,22 @@ def shard_edges_by_patch(ii, jj, kk, n_shards, e_shard=None):
     Raises if any single patch group exceeds ``e_shard`` edges (cannot
     be placed) — patch groups are <= PATCH_LIFETIME * 2 edges in the
     tracking loop, far below any sane shard size.
+
+    Pass ``k_cap`` (the value later given to ``make_sharded_update_step``)
+    to validate the live-patch-id span up front: ``ba_iterative_sharded``
+    maps patch slots with a GLOBAL dense ``kk - min(kk)`` mapping, so a
+    span >= k_cap would silently zero-weight the overflowing edges and
+    quietly diverge from the single-device result.
     """
     kk = np.asarray(kk)
     E = len(kk)
+    if k_cap is not None and E > 0:
+        span_kk = int(kk.max()) - int(kk.min()) + 1
+        if span_kk > k_cap:
+            raise ValueError(
+                f"live patch-id span {span_kk} exceeds k_cap {k_cap}; "
+                f"ba_iterative_sharded's dense kk - min(kk) slot mapping "
+                f"would drop edges — raise k_cap or retire old edges")
     order = np.argsort(kk, kind="stable")
     ks = kk[order]
     # boundary[i] = True where a new patch group starts at sorted pos i

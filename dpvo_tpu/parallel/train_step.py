@@ -89,7 +89,7 @@ def make_train_step(patchifier: Patchifier, update_mod: Update, tx,
             update_mod=update_mod, structure_only=structure_only,
             steps=steps, M=M)
 
-        tr, ro = R.pose_loss_terms(out["poses"], poses)
+        tr, ro, fr = R.pose_loss_terms(out["poses"], poses)
         S = out["flow_err"].shape[0]
         w_step = jnp.ones((S,))
         loss = flow_weight * jnp.sum(out["flow_err"] * w_step)
@@ -101,6 +101,12 @@ def make_train_step(patchifier: Patchifier, update_mod: Update, tx,
             "px1": out["px1"][-1],
             "tr": tr[-1],
             "ro": ro[-1],
+            # threshold metrics + the reference's constant-zero kl term
+            # (ref net.py:259 returns kl = 0; train.py:339 adds it to the
+            # loss and :352 logs it — kept for log-schema parity)
+            "r1": fr["r1"][-1], "r2": fr["r2"][-1],
+            "t1": fr["t1"][-1], "t2": fr["t2"][-1],
+            "kl": jnp.float32(0.0),
         }
         return loss, metrics
 
@@ -166,7 +172,7 @@ def make_eval_step(patchifier: Patchifier, update_mod: Update,
             sch["fresh"], sch["intro"],
             update_mod=update_mod, structure_only=False,
             steps=steps, M=M)
-        tr, ro = R.pose_loss_terms(out["poses"], poses)
+        tr, ro, _ = R.pose_loss_terms(out["poses"], poses)
         metrics = {"flow_err": out["flow_err"][-1], "px1": out["px1"][-1],
                    "tr": tr[-1], "ro": ro[-1]}
         return out["poses"], metrics

@@ -231,7 +231,10 @@ def pose_loss_terms(poses_steps, poses_gt):
     """Umeyama-scaled relative pose errors per step (train.py:310-337).
 
     poses_steps (S, N, 7) estimated inverse poses; poses_gt (N, 7).
-    Returns (tr (S,), ro (S,)).
+    Returns (tr (S,), ro (S,), fracs) where fracs holds the reference's
+    threshold metrics r1/r2/t1/t2 per step (train.py:353-359: fraction
+    of pose pairs with rotation error < 1e-3 / 1e-2 and translation
+    error < 1e-3 / 1e-2).
     """
     N = poses_gt.shape[1] if poses_gt.ndim == 3 else poses_gt.shape[0]
     ii, jj = np.meshgrid(np.arange(N), np.arange(N), indexing="ij")
@@ -252,9 +255,11 @@ def pose_loss_terms(poses_steps, poses_gt):
         dG = lie.se3_mul(lie.se3_inv(P2[ii]), P2[jj])
         e1 = lie.se3_log(lie.se3_mul(dP, lie.se3_inv(dG)))
         # eps-safe norms (exact zeros at identical poses NaN the backward)
-        tr = jnp.sqrt(jnp.sum(e1[:, 0:3] ** 2, -1) + 1e-12).mean()
-        ro = jnp.sqrt(jnp.sum(e1[:, 3:6] ** 2, -1) + 1e-12).mean()
-        return tr, ro
+        trp = jnp.sqrt(jnp.sum(e1[:, 0:3] ** 2, -1) + 1e-12)
+        rop = jnp.sqrt(jnp.sum(e1[:, 3:6] ** 2, -1) + 1e-12)
+        fr = {"r1": (rop < 1e-3).mean(), "r2": (rop < 1e-2).mean(),
+              "t1": (trp < 1e-3).mean(), "t2": (trp < 1e-2).mean()}
+        return trp.mean(), rop.mean(), fr
 
     return jax.vmap(one)(poses_steps)
 

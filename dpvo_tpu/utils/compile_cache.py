@@ -35,8 +35,20 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
     # CPU AOT cache entries bake host machine features; reloading them on
     # a different host (or after a toolchain change) warns about SIGILL
     # risk.  CPU compiles are fast — only cache for accelerator backends.
-    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    # Decide from the RESOLVED platform config, not just the env var:
+    # tests select CPU via jax.config.update("jax_platforms", "cpu").
+    platforms = (jax.config.jax_platforms
+                 or os.environ.get("JAX_PLATFORMS", "")).strip().lower()
+    if platforms == "cpu":
         return None
+    if not platforms:
+        # no explicit selection: ask the resolved backend (initializes
+        # the backend, which is fine — caching applies to later jits)
+        try:
+            if jax.default_backend() == "cpu":
+                return None
+        except Exception:
+            return None
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     # only cache programs that took real compile time; sub-second

@@ -7,7 +7,13 @@ device program the merge-every-frame regime dispatches per frame:
     track_frame_u8, append_edges, update_step_dev (full hot loop),
     relative_pose, shift_edge_indices, compact_frames, permute_edges_b
 
-Usage: python scripts/dev/frame_profile.py [bucket]
+Usage: python scripts/dev/frame_profile.py [bucket] [live] [window]
+
+Defaults model the merge-every-frame regime (13.8k live edges, 13-frame
+window).  The retain regime (no merges, KEYFRAME_THRESH=0) carries
+~45k live edges over REMOVAL_WINDOW=22 patch frames:
+
+    python scripts/dev/frame_profile.py 45056 44640 22
 """
 import sys
 import numpy as np
@@ -67,10 +73,12 @@ target_tab = jnp.zeros((E_cap, 2), jnp.float32)
 weight_tab = jnp.zeros((E_cap, 2), jnp.float32)
 
 # realistic steady-state edge table: 13.8k live edges over a ~13-frame
-# window ending at frame n=24
-n_now = 24
-live = 13824
-kk_np = rng.integers((n_now - 12) * M, n_now * M, E_cap).astype(np.int32)
+# window ending at frame n=24 (override: argv live / window)
+live = int(sys.argv[2]) if len(sys.argv) > 2 else 13824
+window = int(sys.argv[3]) if len(sys.argv) > 3 else 12
+n_now = window * 2
+kk_np = rng.integers((n_now - window) * M, n_now * M, E_cap).astype(
+    np.int32)
 kk_np.sort()
 ii_np = kk_np // M
 jj_np = np.minimum(ii_np + rng.integers(1, 12, E_cap), n_now).astype(

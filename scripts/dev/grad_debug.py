@@ -39,7 +39,7 @@ def loss_fn(params):
         patches_init, patches_gt, poses_gt, intr,
         sch.ii, sch.jj, sch.kk, sch.active, sch.fresh, sch.intro,
         update_mod=update_mod, structure_only=False, steps=S, M=M)
-    tr, ro = R.pose_loss_terms(out["poses"], poses_gt)
+    tr, ro, _ = R.pose_loss_terms(out["poses"], poses_gt)
     return 0.1*jnp.sum(out["flow_err"]) + 10.0*jnp.sum((tr+ro)*(jnp.arange(S)>=2)), (out, tr, ro)
 
 (loss, (out, tr, ro)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)

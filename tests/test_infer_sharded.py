@@ -105,7 +105,8 @@ def test_sharded_update_matches_single_device(setup):
         update_mod, mesh, M=M, pmem=PMEM, mem=MEM, n_cap=N_CAP,
         k_cap=K_CAP, span=16, iterations=2)
 
-    perm, valid_s = shard_edges_by_patch(ii, jj, kk, NDEV)
+    perm, valid_s = shard_edges_by_patch(ii, jj, kk, NDEV,
+                                         k_cap=K_CAP)
     outs = step(
         params, jnp.asarray(poses), jnp.asarray(patches),
         jnp.asarray(intrinsics), jnp.asarray(imap), jnp.asarray(gmap),

@@ -145,6 +145,97 @@ class TestBinaryBoW:
         # the C++ library should be built in this repo
         assert bow._lib is not None, "libretrieval.so missing"
 
+    def test_vocab_text_roundtrip(self, tmp_path):
+        """DBoW2 text-format save -> load preserves retrieval behavior
+        (ref TemplatedVocabulary.h loadFromTextFile format, the
+        pretrained-ORBvoc.txt path of ref retrieval_dbow.py:31-34)."""
+        from dpvo_tpu.loop_closure.retrieval.dbow import BinaryBoW
+        rng = np.random.default_rng(4)
+        descs = rng.integers(0, 256, size=(400, 32), dtype=np.uint8)
+
+        bow1 = BinaryBoW()
+        bow1.train(descs)
+        path = tmp_path / "voc.txt"
+        bow1.save_vocab(path)
+
+        # file structure: header + one line per non-root node
+        lines = path.read_text().strip().split("\n")
+        k, L, scoring, weighting = map(int, lines[0].split())
+        assert 0 <= k <= 20 and 1 <= L <= 10
+        parts = lines[1].split()
+        assert len(parts) == 2 + 32 + 1  # parent, is_leaf, 32 bytes, w
+
+        bow2 = BinaryBoW()
+        n_words = bow2.load_vocab(path)
+        assert n_words > 0
+        assert bow2.trained
+
+        # same database, same queries -> same best match
+        q = rng.integers(0, 256, size=(80, 32), dtype=np.uint8)
+        imgs = [descs[i * 40:(i + 1) * 40] for i in range(10)]
+        for b in (bow1, bow2):
+            for i, d in enumerate(imgs):
+                b.add(i, d)
+        m1, s1 = bow1.query(imgs[2], qid=50, min_gap=20)
+        m2, s2 = bow2.query(imgs[2], qid=50, min_gap=20)
+        assert m1 == m2 == 2
+        np.testing.assert_allclose(s1, s2, rtol=1e-5)
+        # and a non-member query agrees too
+        m1, _ = bow1.query(q, qid=50, min_gap=20)
+        m2, _ = bow2.query(q, qid=50, min_gap=20)
+        assert m1 == m2
+
+    def test_load_vocab_rejects_garbage(self, tmp_path):
+        from dpvo_tpu.loop_closure.retrieval.dbow import BinaryBoW
+        p = tmp_path / "bad.txt"
+        p.write_text("this is not a vocabulary\n1 2 3\n")
+        bow = BinaryBoW()
+        with pytest.raises(Exception):
+            bow.load_vocab(p)
+
+    def test_online_vs_pretrained_recall(self, tmp_path):
+        """Quantify the online-trained vocabulary against a pretrained
+        (loaded) one on a synthetic revisit sequence: recall@1 over 20
+        revisit queries of 20 distinct places.  The online vocab must
+        reach the pretrained vocab's recall (both should be perfect on
+        this separable problem); the measured numbers are printed for
+        docs/PARITY.md."""
+        from dpvo_tpu.loop_closure.retrieval.dbow import BinaryBoW
+        rng = np.random.default_rng(7)
+        places = rng.integers(0, 256, size=(20, 60, 32), dtype=np.uint8)
+
+        def noisy(base):
+            flips = rng.integers(0, 256, size=base.shape, dtype=np.uint8)
+            mask = rng.random(base.shape) < 0.02
+            return np.where(mask, base ^ flips, base)
+
+        # pretrained vocabulary: train on a DISJOINT corpus, save, load
+        corpus = rng.integers(0, 256, size=(2000, 32), dtype=np.uint8)
+        pre = BinaryBoW()
+        pre.train(corpus)
+        vp = tmp_path / "pre.txt"
+        pre.save_vocab(vp)
+
+        def recall(bow):
+            for i in range(20):
+                bow.add(i, noisy(places[i]))
+            hit = 0
+            for i in range(20):
+                m, _ = bow.query(noisy(places[i]), qid=100, min_gap=20)
+                hit += (m == i)
+            return hit / 20.0
+
+        loaded = BinaryBoW()
+        loaded.load_vocab(vp)
+        r_pre = recall(loaded)
+
+        online = BinaryBoW(train_after=10)  # trains on first 10 places
+        r_onl = recall(online)
+
+        print(f"recall@1: pretrained={r_pre:.2f} online={r_onl:.2f}")
+        assert r_pre >= 0.9
+        assert r_onl >= r_pre - 0.1  # online must be competitive
+
 
 def test_make_sim3_roundtrip():
     from scipy.spatial.transform import Rotation

@@ -76,7 +76,7 @@ def test_rollout_outputs(setup):
 def test_rollout_gradients_nonzero(setup):
     def loss(p):
         out = _rollout(setup, p)
-        tr, ro = R.pose_loss_terms(out["poses"], setup["poses_gt"])
+        tr, ro, _ = R.pose_loss_terms(out["poses"], setup["poses_gt"])
         mask = jnp.arange(S) >= 2
         return (0.1 * jnp.sum(out["flow_err"])
                 + 10.0 * jnp.sum((tr + ro) * mask))

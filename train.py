@@ -160,9 +160,12 @@ def train(config):
     eval_step = None
     if val_enabled:
         try:
+            # no augmentation for validation: random ColorJitter/crops
+            # would make the validation loss unreproducible run-to-run
+            val_kw = dict(reader_kw, aug=False)
             val_db = dataset_factory(
                 dcfg["names"], datapath=dcfg["roots"][0],
-                mode="validation", **reader_kw)
+                mode="validation", **val_kw)
             val_loader = make_loader(val_db, batch_size=1, num_workers=0,
                                      prefetch=1, shuffle=False)
             vrng = np.random.default_rng(7)
