@@ -4,57 +4,70 @@
 Runs the full per-frame tracking pipeline (patchify + recurrent update +
 local BA at the reference's default operating point: 480x640, 96
 patches/frame, 10-frame window, 2 GN iters — BASELINE.md) on synthetic
-frames and reports steady-state FPS.
+frames and reports steady-state FPS for BOTH keyframing regimes:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+- merge: every keyframe decision merges (KEYFRAME_THRESH=1e9) — the
+  low-motion regime, ~13.9k live edges.
+- retain: no decision merges (KEYFRAME_THRESH=0) — the high-motion
+  regime the reference spends most of a real sequence in, ~26.6k live
+  edges (edge retirement only).
+
+Real data sits between the two; the random-weight synthetic drive would
+otherwise flip regimes arbitrarily mid-capture (VERDICT r2 weak#1), so
+each regime is pinned and measured separately.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+"value"/"vs_baseline" track the merge regime (comparable with rounds
+1-2); "value_retain"/"vs_baseline_retain" report the retain regime.
 vs_baseline is FPS / 30 (the driver's >30 FPS target; the reference
 publishes no FPS table — BASELINE.json "published" is {}).
 """
 import json
+import os
 import time
 import sys
 
 import numpy as np
 
 
-def main():
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def run_regime(regime, timing=False):
+    """One pinned-regime capture. Returns (trimmed_fps, median, windows)."""
+    import jax
+    import jax.numpy as jnp
+    from concurrent.futures import ThreadPoolExecutor
     from dpvo_tpu.config import VOConfig
     from dpvo_tpu.engine import DPVO
 
-    # Reference default operating point (480p, 96 patches/frame,
-    # 10-frame window, 2 GN iters).  KEYFRAME_THRESH is pinned so the
-    # keyframe decision — meaningless under random weights — is
-    # DETERMINISTIC: with the reference's 12.5 the drifting random-
-    # weight motionmag eventually crosses the threshold mid-capture and
-    # flips the engine from the merge-every-frame regime (~13.8k live
-    # edges) into the retain regime (~26.6k edges), recompiling new
-    # buckets inside a timed window and cutting FPS ~1.6x for the rest
-    # of the run (measured: flip at frame ~173 in back-to-back runs).
-    # The pin keeps the bench in the merge regime it has always
-    # effectively measured; docs/PERF.md table covers both regimes.
     cfg = VOConfig(
-        BUFFER_SIZE=256,
+        # retain never merges, so every tracked frame stays a keyframe
+        # and the buffer must hold the whole run (30 warm + <=18x40)
+        BUFFER_SIZE=256 if regime == "merge" else 1024,
         MIXED_PRECISION=True,
         LOOP_CLOSURE=False,
         EDGE_CAPACITY=57344,
-        KEYFRAME_THRESH=1e9,
+        KEYFRAME_THRESH=1e9 if regime == "merge" else 0.0,
     )
     ht, wd = 480, 640
 
     slam = DPVO(cfg, network=None, ht=ht, wd=wd)
     # random weights produce arbitrary motion probes; force tracking
     slam.motion_probe = lambda: 100.0
-    import os
-    timing = bool(os.environ.get("DPVO_TIMING"))
 
-    # compile every program the loop can dispatch BEFORE any tracked
-    # frame (parallel AOT + persistent cache): no XLA compile can land
-    # inside a timed window (VERDICT r1: a first-reach bucket compile
-    # stalled a capture for 610 s)
+    # compile every program the loop is PLANNED to dispatch before any
+    # tracked frame.  The merge regime holds ~13.9k live edges but
+    # overshoots to ~20.3k while lagged keyframe decisions are in
+    # flight; the retain regime tops out at the retirement steady state
+    # ~26.6k.  Anything the plan still misses is caught by the engine's
+    # cold-bucket guard (pad to a warm bucket + background compile)
+    # instead of stalling the loop.
     t_pc = time.perf_counter()
-    slam.precompile(max_edges=16384, verbose=timing)
-    print(f"precompile: {time.perf_counter() - t_pc:.0f}s",
-          file=sys.stderr, flush=True)
+    max_edges = 20480 if regime == "merge" else 28672
+    slam.precompile(max_edges=max_edges, verbose=timing)
+    log(f"[{regime}] precompile: {time.perf_counter() - t_pc:.0f}s")
 
     rng = np.random.default_rng(0)
     base = rng.integers(0, 255, size=(ht, wd * 2, 3), dtype=np.uint8)
@@ -68,34 +81,28 @@ def main():
     # producer-side device upload, like the reference's frame-producer
     # process (stream.py): the next frame is already on device when the
     # engine needs it
-    import jax.numpy as jnp
-    from concurrent.futures import ThreadPoolExecutor
     uploader = ThreadPoolExecutor(max_workers=1)
 
     def get_frame(t):
         return jnp.asarray(frame(t))
 
-    nxt = uploader.submit(get_frame, 0)
+    nxt_holder = [uploader.submit(get_frame, 0)]
 
     def step(t):
         img = nxt_holder[0].result()
         nxt_holder[0] = uploader.submit(get_frame, t + 1)
         slam(t, img, intr)
 
-    nxt_holder = [nxt]
-
-    # warmup: triggers all compiles + reaches steady-state edge counts
+    # warmup: reaches the regime's steady-state edge count
     for t in range(n_warm):
         tw = time.perf_counter()
         step(t)
-        print(f"warm frame {t}: {(time.perf_counter()-tw)*1000:.0f}ms "
-              f"(edges {slam.hs.e_num})", file=sys.stderr, flush=True)
+        log(f"[{regime}] warm frame {t}: "
+            f"{(time.perf_counter() - tw) * 1000:.0f}ms "
+            f"(edges {slam.hs.e_num})")
 
-    import jax
     jax.block_until_ready(slam.ds.poses)
-    # margin: cover bucket drift past a boundary mid-capture (compiles
-    # the ladder neighbors of the steady-state bucket; all but the
-    # upper margins are already cached from the pre-warmup precompile)
+    # margin: cover bucket drift past a boundary mid-capture
     slam.precompile(around=slam.hs.e_num, steps=2, verbose=timing)
     slam.enable_timing = timing
     slam.timing_block = False
@@ -119,28 +126,39 @@ def main():
             t += 1
         jax.block_until_ready(slam.ds.poses)
         windows.append(n_bench / (time.perf_counter() - t0))
-        print(f"window fps: {windows[-1]:.2f} (edges {slam.hs.e_num})",
-              file=sys.stderr, flush=True)
+        log(f"[{regime}] window fps: {windows[-1]:.2f} "
+            f"(edges {slam.hs.e_num})")
         if len(windows) >= 9:
             top = sorted(windows)[-5:]
             if top[0] > 0.9 * top[-1]:
                 break
     if timing:
         for k, (ms, cnt) in slam.timing_report().items():
-            print(f"  {k:20s} {ms:8.2f} ms  x{cnt}", file=sys.stderr)
+            log(f"  {k:20s} {ms:8.2f} ms  x{cnt}")
 
+    slam.terminate()
     swin = sorted(windows)
     fps = swin[-3]        # median of the 5 best windows (noise-trimmed)
     med = swin[len(swin) // 2]  # plain median, untrimmed
-    print(json.dumps({
-        "metric": "vo_fps_480p",
-        "value": round(fps, 2),
-        "unit": "frames/sec",
-        "vs_baseline": round(fps / 30.0, 3),
-        "median_fps": round(med, 2),
-        "n_windows": len(windows),
-        "windows": [round(w, 1) for w in windows],
-    }))
+    return fps, med, windows
+
+
+def main():
+    timing = bool(os.environ.get("DPVO_TIMING"))
+    regimes = os.environ.get("DPVO_BENCH_REGIMES", "merge,retain")
+    out = {"metric": "vo_fps_480p", "unit": "frames/sec"}
+    for regime in regimes.split(","):
+        fps, med, windows = run_regime(regime.strip(), timing=timing)
+        suffix = "" if regime == "merge" else f"_{regime}"
+        out["value" + suffix] = round(fps, 2)
+        out["vs_baseline" + suffix] = round(fps / 30.0, 3)
+        out["median_fps" + suffix] = round(med, 2)
+        out["windows" + suffix] = [round(w, 1) for w in windows]
+    if "value" not in out:   # retain-only invocation
+        k = [k for k in out if k.startswith("value")][0]
+        out["value"] = out[k]
+        out["vs_baseline"] = round(out[k] / 30.0, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

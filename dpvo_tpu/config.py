@@ -96,6 +96,11 @@ class VOConfig:
     # from OPTIMIZATION_WINDOW (the local update never frees more poses
     # than that — ref dpvo.py:351)
     BA_WINDOW_CAP: int = 0
+    # smallest edge bucket the engine compiles (shape ladder floor).
+    # Early frames pad their few hundred edges up to this size — a few
+    # extra ms during the first ~7 frames — in exchange for ~3x fewer
+    # update_step variants to compile/warm per process.
+    BUCKET_FLOOR: int = 8192
     # dtype used for feature ring buffers & network activations
     COMPUTE_DTYPE: str = "bfloat16"
     # correlation backend: auto (pallas on TPU, xla on CPU) | pallas | xla

@@ -208,6 +208,55 @@ def _kernel_fused(tile_frame_ref, nlive_ref,
                     dyb_ref, e, p, g).astype(out_ref.dtype)
 
 
+def _kernel_fused_v5(tile_frame_ref, nlive_ref,
+                     x0a_ref, y0a_ref, ria_ref, dxa_ref, dya_ref,
+                     x0b_ref, y0b_ref, rib_ref, dxb_ref, dyb_ref,
+                     g_ref, fmap1_ref, fmap2_ref, out_ref):
+    """Fused two-level kernel, v5 dot ordering: the channel dot runs on
+    the full 16-wide aligned window (no data-sized rotate), and the
+    dynamic x-residue selection becomes a single-register lane roll of
+    the small (8, 16) taps array — the v3 ordering rotates the whole
+    (8, 16, C) window (f32, ~2x the dot's own op count) before an 8-wide
+    dot; v5 pays 2x dot width to shrink the rotate to one vreg."""
+    f32 = jnp.float32
+
+    @pl.when(pl.program_id(0) >= nlive_ref[0])
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(pl.program_id(0) < nlive_ref[0])
+    def _():
+        rows = jax.lax.broadcasted_iota(jnp.int32, (D, D - 1), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (D, D - 1), 1)
+
+        def taps77(fmap_ref, x0_ref, y0_ref, ri_ref, dx_ref, dy_ref,
+                   e, p, g):
+            y0 = y0_ref[e, p]
+            x0 = pl.multiple_of(x0_ref[e, p], 8)
+            win = fmap_ref[0, pl.ds(y0, D), pl.ds(x0, DW), :]
+            taps16 = jnp.sum(win.astype(f32) * g[None, None, :],
+                             axis=2)                           # (8, 16)
+            rr = ri_ref[e, p]
+            taps = pltpu.roll(taps16, -rr, axis=1)[:, :D]      # (8, 8)
+            dyv = dy_ref[e, p]
+            ty = (1 - dyv) * taps[:-1, :] + dyv * taps[1:, :]
+            dxv = dx_ref[e, p]
+            bx_mat = (jnp.where(rows == cols, 1.0 - dxv, 0.0)
+                      + jnp.where(rows == cols + 1, dxv, 0.0))
+            return jnp.sum(ty[:, :, None] * bx_mat[None, :, :],
+                           axis=1)                             # (7, 7)
+
+        for e in range(TILE):
+            for p in range(P2):
+                g = g_ref[e, p].astype(f32)                    # (C,)
+                out_ref[e, 0, p] = taps77(
+                    fmap1_ref, x0a_ref, y0a_ref, ria_ref, dxa_ref,
+                    dya_ref, e, p, g).astype(out_ref.dtype)
+                out_ref[e, 1, p] = taps77(
+                    fmap2_ref, x0b_ref, y0b_ref, rib_ref, dxb_ref,
+                    dyb_ref, e, p, g).astype(out_ref.dtype)
+
+
 RAW_DIM = P2 * (D - 1) * (D - 1)   # per-level feature dim (441)
 
 
@@ -330,10 +379,10 @@ def _window_meta(coords, Hp, Wp):
     return x0, by, ri, dx, dy
 
 
-@partial(jax.jit, static_argnames=("interpret", "out_dtype"))
+@partial(jax.jit, static_argnames=("interpret", "out_dtype", "version"))
 def corr_pallas_fused(g_pre, fmap1_padded, fmap2_padded, coords,
                       tile_frame, n_live=None, interpret=False,
-                      out_dtype=None):
+                      out_dtype=None, version=5):
     """Two-level correlation in ONE grid pass (see _kernel_fused).
 
     coords are level-1 pixel coords; level 2 samples fmap2 at coords/4
@@ -372,7 +421,7 @@ def corr_pallas_fused(g_pre, fmap1_padded, fmap2_padded, coords,
     )
 
     return pl.pallas_call(
-        _kernel_fused,
+        _kernel_fused_v5 if version == 5 else _kernel_fused,
         out_shape=jax.ShapeDtypeStruct((E, 2, P2, D - 1, D - 1),
                                        out_dtype),
         grid_spec=grid_spec,

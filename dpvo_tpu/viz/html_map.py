@@ -25,6 +25,7 @@ _TEMPLATE = """<!DOCTYPE html>
 <body>
 <div id="hud">dpvo_tpu map — {npts} points, {ncam} cameras.
  drag: orbit &middot; wheel: zoom &middot; shift-drag: pan</div>
+{video_pane}
 <canvas id="c"></canvas>
 <script>
 const PTS = {pts};     // [x,y,z,r,g,b] flat
@@ -96,12 +97,42 @@ draw();
 """
 
 
+def _video_pane_html(image_bgr):
+    """Latest camera frame as an embedded JPEG/PNG corner pane — the
+    analog of DPViewer's live video texture (ref viewer.cpp:279-288
+    composites the current frame into the GL window each draw)."""
+    import base64
+    img = np.asarray(image_bgr)[..., ::-1]    # BGR -> RGB
+    try:
+        import cv2
+        ok, buf = cv2.imencode(".jpg", img[..., ::-1])
+        if not ok:
+            return ""
+        b64 = base64.b64encode(buf.tobytes()).decode()
+        mime = "image/jpeg"
+    except ImportError:
+        import io
+        try:
+            from PIL import Image
+            bio = io.BytesIO()
+            Image.fromarray(img).save(bio, format="PNG")
+            b64 = base64.b64encode(bio.getvalue()).decode()
+            mime = "image/png"
+        except ImportError:
+            return ""
+    return ('<img id="video" src="data:{};base64,{}" style="position:'
+            'fixed;right:8px;top:8px;max-width:320px;border:1px solid '
+            '#444" alt="current frame">'.format(mime, b64))
+
+
 def export_html(path, points, colors, cam_centers, frustum_segments=(),
-                max_points=60000):
+                max_points=60000, image=None):
     """Write an interactive map HTML.
 
     points (P, 3) f32 world; colors (P, 3) uint8 RGB;
-    cam_centers (N, 3); frustum_segments iterable of (2, 3) arrays.
+    cam_centers (N, 3); frustum_segments iterable of (2, 3) arrays;
+    image optional (H, W, 3) uint8 BGR latest camera frame, embedded as
+    a video pane like the reference viewer's texture overlay.
     """
     points = np.asarray(points, np.float32)
     colors = np.asarray(colors, np.uint8)
@@ -128,7 +159,8 @@ def export_html(path, points, colors, cam_centers, frustum_segments=(),
         segs=json.dumps(np.round(segs.reshape(-1), 3).tolist()
                         if len(segs) else []),
         dist=float(3.0 * spread + 1e-3),
-        cx=float(center[0]), cy=float(center[1]), cz=float(center[2]))
+        cx=float(center[0]), cy=float(center[1]), cz=float(center[2]),
+        video_pane=_video_pane_html(image) if image is not None else "")
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as f:
         f.write(html)

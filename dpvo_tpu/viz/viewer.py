@@ -147,5 +147,7 @@ class Viewer:
         segs = []
         for k in range(0, n, max(n // 24, 1)):
             segs += _frustum_segments(inv[k])
+        with self._lock:
+            img = self._image
         export_html(os.path.join(self.out_dir, "map.html"),
-                    pts, cols, inv[:, :3], segs)
+                    pts, cols, inv[:, :3], segs, image=img)

@@ -105,7 +105,7 @@ def live_sum(out):
     returning the tuple would let XLA DCE e.g. the whole BA)."""
     tot = jnp.float32(0)
     for x in jax.tree.leaves(out):
-        if x is None:
+        if x is None or isinstance(x, str):
             continue
         tot = tot + jnp.sum(x.astype(jnp.float32))
     return jnp.clip(tot, -1e6, 1e6)[None]
@@ -235,3 +235,49 @@ def corr_f(e_num, poses, patches, gmap, fmap1, fmap2, eii, ejj, ekk):
 
 timed(f"reproject+corr2lvl bucket={bucket}", corr_f, e_num, poses,
       patches, gmap, fmap1, fmap2, eii, ejj, ekk, reps=8)
+
+
+# --- isolated update network (corr features precomputed) ------------------
+def net_f(e_num, net_in, ctx_in, corr_in, eii, ejj, ekk):
+    from dpvo_tpu.ops import graph
+    from dpvo_tpu.ops.scatter import group_meta_device
+    ii = eii[:bucket]
+    jj = ejj[:bucket]
+    kk = ekk[:bucket]
+    valid = jnp.arange(bucket, dtype=jnp.int32) < e_num
+    kk_g = jnp.where(valid, kk, -1)
+    pair = jnp.where(valid, ii * jnp.int32(12345) + jj, -1)
+    agg_meta = (group_meta_device(kk_g), group_meta_device(pair))
+    nbrs = graph.neighbors(kk, jj, valid)
+    net, delta, weight = update_mod.apply(
+        u_params, net_in, ctx_in, corr_in, ii, jj, kk, valid,
+        agg_meta=agg_meta, nbrs=nbrs)
+    return live_sum((net, delta, weight))
+
+
+net_in = jnp.zeros((bucket, DIM), jnp.float32)
+ctx_in = jnp.zeros((bucket, DIM), jnp.float32)
+corr_in = jnp.asarray(rng.normal(size=(bucket, 2 * 49 * P * P)), dt)
+timed(f"update net (incl meta) bucket={bucket}", net_f, e_num,
+      net_in, ctx_in, corr_in, eii, ejj, ekk, reps=8)
+
+
+# --- metadata only --------------------------------------------------------
+def meta_f(e_num, eii, ejj, ekk):
+    from dpvo_tpu.ops import graph
+    from dpvo_tpu.ops.scatter import group_meta_device
+    from dpvo_tpu.ops.corr_pallas import corr_grouping_device
+    ii = eii[:bucket]
+    jj = ejj[:bucket]
+    kk = ekk[:bucket]
+    valid = jnp.arange(bucket, dtype=jnp.int32) < e_num
+    kk_g = jnp.where(valid, kk, -1)
+    pair = jnp.where(valid, ii * jnp.int32(12345) + jj, -1)
+    agg_meta = (group_meta_device(kk_g), group_meta_device(pair))
+    nbrs = graph.neighbors(kk, jj, valid)
+    cg = corr_grouping_device(jnp.where(valid, jj, 0), mem, valid)
+    return live_sum((agg_meta, nbrs, cg))
+
+
+timed(f"edge metadata bucket={bucket}", meta_f, e_num, eii, ejj, ekk,
+      reps=8)
