@@ -433,6 +433,13 @@ class DPVO:
             c = ladder.index(self._bucket_for(
                 around if around is not None else max(self.hs.e_num, 1)))
             buckets = ladder[max(c - steps, 0):c + steps + 1]
+        # the full-capacity bucket is the universal cover: with it warm,
+        # the cold-bucket guard can always dispatch (padded) instead of
+        # compiling synchronously when the live edge count overshoots
+        # the plan (VERDICT r2: 36 s mid-run stall at a first-reach
+        # bucket the plan missed)
+        if ladder and ladder[-1] not in buckets:
+            buckets = buckets + [ladder[-1]]
 
         sc = allocate(cfg, self.ht, self.wd, self.P, self.pmem, self.mem)
         t_all = time.perf_counter()
@@ -561,7 +568,11 @@ class DPVO:
             if verbose:
                 print(f"precompile bucket {b}: "
                       f"{time.perf_counter() - t0:.1f}s", flush=True)
-        jax.block_until_ready(sc.poses)
+        # a real DATA READ, not just block_until_ready (a no-op on some
+        # remote backends): drains the device queue AND exercises the
+        # d2h fetch path once, so the first in-loop keyframe fetch does
+        # not absorb tunnel-session setup or queued precompile work
+        np.asarray(sc.poses[0])
         if verbose:
             print(f"precompile total: {time.perf_counter() - t_all:.1f}s",
                   flush=True)

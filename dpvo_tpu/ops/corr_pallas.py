@@ -382,7 +382,12 @@ def _window_meta(coords, Hp, Wp):
 @partial(jax.jit, static_argnames=("interpret", "out_dtype", "version"))
 def corr_pallas_fused(g_pre, fmap1_padded, fmap2_padded, coords,
                       tile_frame, n_live=None, interpret=False,
-                      out_dtype=None, version=5):
+                      out_dtype=None, version=4):
+    # version=5 (single-register taps roll) is bit-identical in
+    # interpret mode and ~15% less VPU work on paper, but the dynamic
+    # 16-lane roll crashes the Mosaic remote compiler (HTTP 500,
+    # tpu_compile_helper exit 1) — kept for when the toolchain accepts
+    # it; v4 (window rotate before an 8-wide dot) is the shipped path.
     """Two-level correlation in ONE grid pass (see _kernel_fused).
 
     coords are level-1 pixel coords; level 2 samples fmap2 at coords/4
