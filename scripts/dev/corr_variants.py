@@ -1,0 +1,227 @@
+"""Corr kernel variant lab (round 3 retain-regime push).
+
+The fused two-level kernel (corr_pallas.corr_pallas_fused, v4) is
+VPU-issue-bound: per (edge, pixel, level) it spends ~96 vector ops of
+which only ~8 are the useful multiplies — the rest are the f32 convert
+of the 16-wide window (16), the dynamic sublane roll (16), and the
+cross-lane channel reduction (~56).  Variants here attack the
+convert/roll share; the lane reduction is structural for a
+channels-on-lanes layout (any VPU formulation pays it).
+
+Run on TPU:      python scripts/dev/corr_variants.py [E]
+Check on CPU:    JAX_PLATFORMS=cpu python scripts/dev/corr_variants.py check
+"""
+import sys
+from functools import partial
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/scripts/dev")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dpvo_tpu.ops import corr_pallas as cp
+
+D, DW, P2, TILE = cp.D, cp.DW, cp.P2, cp.TILE
+
+
+def _blend(taps, dyv, dxv, rows, cols, rr=None):
+    """(8, 8|16) taps -> (7, 7): y bilinear + x select/blend matrix."""
+    ty = (1 - dyv) * taps[:-1, :] + dyv * taps[1:, :]
+    if rr is None:
+        bx = (jnp.where(rows == cols, 1.0 - dxv, 0.0)
+              + jnp.where(rows == cols + 1, dxv, 0.0))
+    else:
+        bx = (jnp.where(rows == cols + rr, 1.0 - dxv, 0.0)
+              + jnp.where(rows == cols + rr + 1, dxv, 0.0))
+    return jnp.sum(ty[:, :, None] * bx[None, :, :], axis=1)
+
+
+def _mk_fused(body16):
+    """Wrap a per-(e,p)-body into the fused two-level kernel shape."""
+
+    def kernel(tile_frame_ref, nlive_ref,
+               x0a_ref, y0a_ref, ria_ref, dxa_ref, dya_ref,
+               x0b_ref, y0b_ref, rib_ref, dxb_ref, dyb_ref,
+               g_ref, fmap1_ref, fmap2_ref, out_ref):
+        @pl.when(pl.program_id(0) >= nlive_ref[0])
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        @pl.when(pl.program_id(0) < nlive_ref[0])
+        def _():
+            rows8 = jax.lax.broadcasted_iota(jnp.int32, (D, D - 1), 0)
+            cols8 = jax.lax.broadcasted_iota(jnp.int32, (D, D - 1), 1)
+            rows16 = jax.lax.broadcasted_iota(jnp.int32, (DW, D - 1), 0)
+            cols16 = jax.lax.broadcasted_iota(jnp.int32, (DW, D - 1), 1)
+            for e in range(TILE):
+                for p in range(P2):
+                    g = g_ref[e, p].astype(jnp.float32)
+                    out_ref[e, 0, p] = body16(
+                        fmap1_ref, x0a_ref, y0a_ref, ria_ref, dxa_ref,
+                        dya_ref, e, p, g, rows8, cols8, rows16,
+                        cols16).astype(out_ref.dtype)
+                    out_ref[e, 1, p] = body16(
+                        fmap2_ref, x0b_ref, y0b_ref, rib_ref, dxb_ref,
+                        dyb_ref, e, p, g, rows8, cols8, rows16,
+                        cols16).astype(out_ref.dtype)
+    return kernel
+
+
+def _body_v4(fmap_ref, x0_ref, y0_ref, ri_ref, dx_ref, dy_ref, e, p, g,
+             rows8, cols8, rows16, cols16):
+    """Shipped v4: f32 convert (16-wide), dynamic sublane roll, 8-wide
+    dot."""
+    y0 = y0_ref[e, p]
+    x0 = pl.multiple_of(x0_ref[e, p], 8)
+    win = fmap_ref[0, pl.ds(y0, D), pl.ds(x0, DW), :]
+    win8 = pltpu.roll(win.astype(jnp.float32), -ri_ref[e, p],
+                      axis=1)[:, :D, :]
+    taps = jnp.sum(win8 * g[None, None, :], axis=2)
+    return _blend(taps, dy_ref[e, p], dx_ref[e, p], rows8, cols8)
+
+
+def _body_v6a(fmap_ref, x0_ref, y0_ref, ri_ref, dx_ref, dy_ref, e, p, g,
+              rows8, cols8, rows16, cols16):
+    """v6a: roll the RAW bf16 window (half the data), slice to 8, then
+    convert only the kept half."""
+    y0 = y0_ref[e, p]
+    x0 = pl.multiple_of(x0_ref[e, p], 8)
+    win = fmap_ref[0, pl.ds(y0, D), pl.ds(x0, DW), :]
+    win8 = pltpu.roll(win, -ri_ref[e, p], axis=1)[:, :D, :]
+    taps = jnp.sum(win8.astype(jnp.float32) * g[None, None, :], axis=2)
+    return _blend(taps, dy_ref[e, p], dx_ref[e, p], rows8, cols8)
+
+
+def _body_v6b(fmap_ref, x0_ref, y0_ref, ri_ref, dx_ref, dy_ref, e, p, g,
+              rows8, cols8, rows16, cols16):
+    """v6b: NO roll — 16-wide dot, residue folded into the (16, 7)
+    select/blend matrix (the v1 ordering, in the fused kernel)."""
+    y0 = y0_ref[e, p]
+    x0 = pl.multiple_of(x0_ref[e, p], 8)
+    win = fmap_ref[0, pl.ds(y0, D), pl.ds(x0, DW), :]
+    taps = jnp.sum(win.astype(jnp.float32) * g[None, None, :], axis=2)
+    return _blend(taps, dy_ref[e, p], dx_ref[e, p], rows16, cols16,
+                  rr=ri_ref[e, p])
+
+
+def _body_v6c(fmap_ref, x0_ref, y0_ref, ri_ref, dx_ref, dy_ref, e, p, g,
+              rows8, cols8, rows16, cols16):
+    """v6c: bf16 multiply, f32 accumulation via dtype-carrying sum —
+    no pre-converted f32 window materialization at all."""
+    y0 = y0_ref[e, p]
+    x0 = pl.multiple_of(x0_ref[e, p], 8)
+    win = fmap_ref[0, pl.ds(y0, D), pl.ds(x0, DW), :]
+    win8 = pltpu.roll(win, -ri_ref[e, p], axis=1)[:, :D, :]
+    taps = jnp.sum(win8 * g.astype(win8.dtype)[None, None, :], axis=2,
+                   dtype=jnp.float32)
+    return _blend(taps, dy_ref[e, p], dx_ref[e, p], rows8, cols8)
+
+
+KERNELS = {
+    "v4": _mk_fused(_body_v4),
+    "v6a": _mk_fused(_body_v6a),
+    "v6b": _mk_fused(_body_v6b),
+    "v6c": _mk_fused(_body_v6c),
+}
+
+
+@partial(jax.jit, static_argnames=("variant", "interpret", "out_dtype"))
+def fused_variant(g_pre, fmap1_padded, fmap2_padded, coords, tile_frame,
+                  n_live=None, variant="v4", interpret=False,
+                  out_dtype=None):
+    E, _, C = g_pre.shape
+    F, Hp1, Wp1, _ = fmap1_padded.shape
+    _, Hp2, Wp2, _ = fmap2_padded.shape
+    n_tiles = E // TILE
+    if n_live is None:
+        n_live = jnp.full((1,), n_tiles, jnp.int32)
+    else:
+        n_live = jnp.asarray(n_live, jnp.int32).reshape(1)
+    out_dtype = out_dtype or jnp.float32
+
+    x0a, bya, ria, dxa, dya = cp._window_meta(coords, Hp1, Wp1)
+    x0b, byb, rib, dxb, dyb = cp._window_meta(coords / 4.0, Hp2, Wp2)
+
+    smem = dict(memory_space=pltpu.SMEM)
+    sspec = pl.BlockSpec((TILE, P2), lambda i, tf, nl: (i, 0), **smem)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[sspec] * 10 + [
+            pl.BlockSpec((TILE, P2, C), lambda i, tf, nl: (i, 0, 0)),
+            pl.BlockSpec((1, Hp1, Wp1, C),
+                         lambda i, tf, nl: (tf[i], 0, 0, 0)),
+            pl.BlockSpec((1, Hp2, Wp2, C),
+                         lambda i, tf, nl: (tf[i], 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((TILE, 2, P2, D - 1, D - 1),
+                               lambda i, tf, nl: (i, 0, 0, 0, 0)),
+    )
+    return pl.pallas_call(
+        KERNELS[variant],
+        out_shape=jax.ShapeDtypeStruct((E, 2, P2, D - 1, D - 1),
+                                       out_dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tile_frame, n_live, x0a, bya, ria,
+      dxa.astype(jnp.float32), dya.astype(jnp.float32),
+      x0b, byb, rib, dxb.astype(jnp.float32), dyb.astype(jnp.float32),
+      g_pre, fmap1_padded, fmap2_padded)
+
+
+def make_inputs(E, mem=20, seed=0):
+    H1, W1, H2, W2, C = 120, 160, 30, 40, 128
+    Hp1, Wp1 = cp.padded_hw(H1, W1)
+    Hp2, Wp2 = cp.padded_hw(H2, W2)
+    rng = np.random.default_rng(seed)
+    g = jnp.asarray(rng.standard_normal((E, P2, C)), jnp.bfloat16)
+    f1 = jnp.asarray(rng.standard_normal((mem, Hp1, Wp1, C)) * 0.3,
+                     jnp.bfloat16)
+    f2 = jnp.asarray(rng.standard_normal((mem, Hp2, Wp2, C)) * 0.3,
+                     jnp.bfloat16)
+    coords = jnp.asarray(
+        np.stack([rng.uniform(-5, W1 + 5, (E, 3, 3)),
+                  rng.uniform(-5, H1 + 5, (E, 3, 3))], axis=1),
+        jnp.float32)
+    tf = jnp.sort(jnp.asarray(rng.integers(0, mem, (E // TILE,)),
+                              jnp.int32))
+    return g, f1, f2, coords, tf
+
+
+def check():
+    g, f1, f2, coords, tf = make_inputs(32, mem=3)
+    ref = fused_variant(g, f1, f2, coords, tf, variant="v4",
+                        interpret=True)
+    for v in ("v6a", "v6b", "v6c"):
+        out = fused_variant(g, f1, f2, coords, tf, variant=v,
+                            interpret=True)
+        d = np.abs(np.asarray(out, np.float32)
+                   - np.asarray(ref, np.float32))
+        rel = d.max() / (np.abs(np.asarray(ref, np.float32)).max() + 1e-9)
+        exact = "EXACT" if d.max() == 0 else f"maxrel {rel:.2e}"
+        print(f"{v}: {exact}")
+
+
+def bench(E):
+    from microbench import timed
+    g, f1, f2, coords, tf = make_inputs(E)
+    for v in KERNELS:
+        try:
+            fn = partial(fused_variant, g, f1, f2, coords,
+                         variant=v, out_dtype=jnp.bfloat16)
+            timed(f"fused {v} E={E}", fn, tf, reps=8)
+        except Exception as ex:  # Mosaic compile failures are expected
+            print(f"fused {v} E={E}: FAILED {type(ex).__name__}: "
+                  f"{str(ex)[:200]}")
+
+
+if __name__ == "__main__":
+    if "check" in sys.argv[1:]:
+        check()
+    else:
+        E = int(sys.argv[1]) if len(sys.argv) > 1 else 49152
+        bench(E)
