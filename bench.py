@@ -101,7 +101,8 @@ def run_regime(regime, timing=False):
             f"{(time.perf_counter() - tw) * 1000:.0f}ms "
             f"(edges {slam.hs.e_num})")
 
-    jax.block_until_ready(slam.ds.poses)
+    np.asarray(slam.ds.poses[0])    # data-read fence (block_until_ready
+    # is a no-op on this backend, PERF.md round 5)
     # margin: cover bucket drift past a boundary mid-capture
     slam.precompile(around=slam.hs.e_num, steps=2, verbose=timing)
     slam.enable_timing = timing
@@ -124,7 +125,9 @@ def run_regime(regime, timing=False):
         for _ in range(n_bench):
             step(t)
             t += 1
-        jax.block_until_ready(slam.ds.poses)
+        np.asarray(slam.ds.poses[0])   # real fence: one ~28ms d2h read
+        # per 40-frame window (~1%) so the window boundary can't drift
+        # by the device queue depth
         windows.append(n_bench / (time.perf_counter() - t0))
         log(f"[{regime}] window fps: {windows[-1]:.2f} "
             f"(edges {slam.hs.e_num})")

@@ -121,12 +121,166 @@ def _body_v6c(fmap_ref, x0_ref, y0_ref, ri_ref, dx_ref, dy_ref, e, p, g,
     return _blend(taps, dy_ref[e, p], dx_ref[e, p], rows8, cols8)
 
 
+def _body_v7(fmap_ref, x0_ref, y0_ref, ri_ref, dx_ref, dy_ref, e, p, g,
+             rows8, cols8, rows16, cols16):
+    """v7: per-(e,p) channel dot as an MXU matmul on the (128, C)
+    reshaped window (8y*16x rows), then the v6b-style blend.  Probes
+    whether Mosaic pipelines 288 small matmuls better than the VPU
+    lane reductions."""
+    y0 = y0_ref[e, p]
+    x0 = pl.multiple_of(x0_ref[e, p], 8)
+    win = fmap_ref[0, pl.ds(y0, D), pl.ds(x0, DW), :]
+    rows = win.astype(jnp.float32).reshape(D * DW, -1)   # (128, C)
+    taps = jax.lax.dot_general(
+        rows, g.reshape(-1, 1),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).reshape(D, DW)
+    return _blend(taps, dy_ref[e, p], dx_ref[e, p], rows16, cols16,
+                  rr=ri_ref[e, p])
+
+
 KERNELS = {
     "v4": _mk_fused(_body_v4),
     "v6a": _mk_fused(_body_v6a),
     "v6b": _mk_fused(_body_v6b),
     "v6c": _mk_fused(_body_v6c),
+    "v7": _mk_fused(_body_v7),
 }
+
+
+# ---------------------------------------------------------------- probes
+# Phase-attribution kernels: same tile/loop structure and loads as the
+# real kernel, each keeping a prefix of the per-(e, p) pipeline.  The
+# measured deltas attribute the per-(edge, pixel) time to load/convert/
+# roll/mult/lane-reduce/blends — the data that decides which variant is
+# worth shipping.
+
+def _mk_probe(body, out_block):
+    def kernel(tile_frame_ref, nlive_ref,
+               x0a_ref, y0a_ref, ria_ref, dxa_ref, dya_ref,
+               x0b_ref, y0b_ref, rib_ref, dxb_ref, dyb_ref,
+               g_ref, fmap1_ref, fmap2_ref, out_ref):
+        @pl.when(pl.program_id(0) >= nlive_ref[0])
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        @pl.when(pl.program_id(0) < nlive_ref[0])
+        def _():
+            for e in range(TILE):
+                for p in range(P2):
+                    g = g_ref[e, p].astype(jnp.float32)
+                    out_ref[e, 0, p] = body(
+                        fmap1_ref, x0a_ref, y0a_ref, ria_ref, e, p,
+                        g).astype(out_ref.dtype)
+                    out_ref[e, 1, p] = body(
+                        fmap2_ref, x0b_ref, y0b_ref, rib_ref, e, p,
+                        g).astype(out_ref.dtype)
+    return kernel, out_block
+
+
+def _probe_load(fmap_ref, x0_ref, y0_ref, ri_ref, e, p, g):
+    """Load + one cheap row convert (keeps the DMA alive)."""
+    win = fmap_ref[0, pl.ds(y0_ref[e, p], D),
+                   pl.ds(pl.multiple_of(x0_ref[e, p], 8), DW), :]
+    return win[:, 0, :].astype(jnp.float32)                 # (8, C)
+
+
+def _probe_convert(fmap_ref, x0_ref, y0_ref, ri_ref, e, p, g):
+    """Load + full f32 convert (sum over x keeps all columns alive
+    with a cheap 16-sublane reduce)."""
+    win = fmap_ref[0, pl.ds(y0_ref[e, p], D),
+                   pl.ds(pl.multiple_of(x0_ref[e, p], 8), DW), :]
+    return jnp.sum(win.astype(jnp.float32), axis=1)         # (8, C)
+
+
+def _probe_roll(fmap_ref, x0_ref, y0_ref, ri_ref, e, p, g):
+    """Load + convert + dynamic roll (no dot)."""
+    win = fmap_ref[0, pl.ds(y0_ref[e, p], D),
+                   pl.ds(pl.multiple_of(x0_ref[e, p], 8), DW), :]
+    w = pltpu.roll(win.astype(jnp.float32), -ri_ref[e, p], axis=1)
+    return w[:, 0, :]                                       # (8, C)
+
+
+def _probe_mult_subl(fmap_ref, x0_ref, y0_ref, ri_ref, e, p, g):
+    """Load + convert + roll + mult, reduce over the X SUBLANE axis
+    (wrong math, same mult count): isolates lane-reduce vs
+    sublane-reduce cost."""
+    win = fmap_ref[0, pl.ds(y0_ref[e, p], D),
+                   pl.ds(pl.multiple_of(x0_ref[e, p], 8), DW), :]
+    w = pltpu.roll(win.astype(jnp.float32), -ri_ref[e, p],
+                   axis=1)[:, :D, :]
+    return jnp.sum(w * g[None, None, :], axis=1)            # (8, C)
+
+
+def _probe_full_dot(fmap_ref, x0_ref, y0_ref, ri_ref, e, p, g):
+    """Load + convert + roll + mult + LANE reduce (= v4 minus blends),
+    broadcast back to (8, C) so the out block matches."""
+    win = fmap_ref[0, pl.ds(y0_ref[e, p], D),
+                   pl.ds(pl.multiple_of(x0_ref[e, p], 8), DW), :]
+    w = pltpu.roll(win.astype(jnp.float32), -ri_ref[e, p],
+                   axis=1)[:, :D, :]
+    taps = jnp.sum(w * g[None, None, :], axis=2)            # (8, 8)
+    return jnp.pad(taps, ((0, 0), (0, g.shape[0] - D)))     # (8, C)
+
+
+PROBES = {
+    "p_load": _probe_load,
+    "p_convert": _probe_convert,
+    "p_roll": _probe_roll,
+    "p_mult_subl": _probe_mult_subl,
+    "p_full_dot": _probe_full_dot,
+}
+
+
+@partial(jax.jit, static_argnames=("probe",))
+def probe_variant(g_pre, fmap1_padded, fmap2_padded, coords, tile_frame,
+                  probe="p_load"):
+    E, _, C = g_pre.shape
+    F, Hp1, Wp1, _ = fmap1_padded.shape
+    _, Hp2, Wp2, _ = fmap2_padded.shape
+    n_tiles = E // TILE
+    n_live = jnp.full((1,), n_tiles, jnp.int32)
+
+    x0a, bya, ria, dxa, dya = cp._window_meta(coords, Hp1, Wp1)
+    x0b, byb, rib, dxb, dyb = cp._window_meta(coords / 4.0, Hp2, Wp2)
+
+    smem = dict(memory_space=pltpu.SMEM)
+    sspec = pl.BlockSpec((TILE, P2), lambda i, tf, nl: (i, 0), **smem)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[sspec] * 10 + [
+            pl.BlockSpec((TILE, P2, C), lambda i, tf, nl: (i, 0, 0)),
+            pl.BlockSpec((1, Hp1, Wp1, C),
+                         lambda i, tf, nl: (tf[i], 0, 0, 0)),
+            pl.BlockSpec((1, Hp2, Wp2, C),
+                         lambda i, tf, nl: (tf[i], 0, 0, 0)),
+        ],
+        # constant out index map: every tile overwrites the same block,
+        # so output HBM traffic doesn't swamp the probed compute
+        out_specs=pl.BlockSpec((TILE, 2, P2, D, C),
+                               lambda i, tf, nl: (0, 0, 0, 0, 0)),
+    )
+    kernel, _ = _mk_probe(PROBES[probe], None)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((TILE, 2, P2, D, C), jnp.float32),
+        grid_spec=grid_spec,
+    )(tile_frame, n_live, x0a, bya, ria,
+      dxa.astype(jnp.float32), dya.astype(jnp.float32),
+      x0b, byb, rib, dxb.astype(jnp.float32), dyb.astype(jnp.float32),
+      g_pre, fmap1_padded, fmap2_padded)
+
+
+def probe(E):
+    from microbench import timed
+    g, f1, f2, coords, tf = make_inputs(E)
+    for name in PROBES:
+        try:
+            fn = partial(probe_variant, g, f1, f2, coords, probe=name)
+            timed(f"{name} E={E}", fn, tf, reps=8)
+        except Exception as ex:
+            print(f"{name}: FAILED {type(ex).__name__}: {str(ex)[:160]}")
 
 
 @partial(jax.jit, static_argnames=("variant", "interpret", "out_dtype"))
@@ -196,7 +350,7 @@ def check():
     g, f1, f2, coords, tf = make_inputs(32, mem=3)
     ref = fused_variant(g, f1, f2, coords, tf, variant="v4",
                         interpret=True)
-    for v in ("v6a", "v6b", "v6c"):
+    for v in ("v6a", "v6b", "v6c", "v7"):
         out = fused_variant(g, f1, f2, coords, tf, variant=v,
                             interpret=True)
         d = np.abs(np.asarray(out, np.float32)
@@ -222,6 +376,9 @@ def bench(E):
 if __name__ == "__main__":
     if "check" in sys.argv[1:]:
         check()
+    elif "probe" in sys.argv[1:]:
+        E = int(sys.argv[-1]) if sys.argv[-1].isdigit() else 16384
+        probe(E)
     else:
         E = int(sys.argv[1]) if len(sys.argv) > 1 else 49152
         bench(E)
