@@ -61,45 +61,55 @@ def corr_stub(fmap1, fmap2, coords, ii, jj, radius=3, dropout=1,
     """corr_cuda_forward twin: fmap1 (1, K, C, P, P) patch features,
     fmap2 (1, F, C, H2, W2) frame features, coords (1, E, 2, P, P),
     ii/jj (E,) long.  Returns (1, E, D-1, D-1, P, P) with the
-    [x_off, y_off] ordering of the final permute (cu:233)."""
+    [x_off, y_off] ordering of the final permute (cu:233).
+
+    Edges are processed GROUPED BY TARGET FRAME so each chunk gathers
+    from one frame VIEW — the earlier per-edge ``index_select`` copied
+    a full (C, H2, W2) frame per edge (1.26 GB per 128-edge chunk at
+    the 480p operating point), which OOM-killed the full-scale parity
+    run (frame 7, ~45k-edge updates)."""
     coords = coords.float()
     _, E, _, P, _ = coords.shape
     C = fmap1.shape[2]
     D = 2 * radius + 2
     H2, W2 = fmap2.shape[-2:]
-    outs = []
     di = torch.arange(D) - radius
-    for s in range(0, E, chunk):
-        e = min(s + chunk, E)
-        m = e - s
-        c = coords[0, s:e]                               # (m, 2, P, P)
-        g = fmap1[0, ii[s:e]].float()                    # (m, C, P, P)
-        # index_select instead of advanced indexing: at full scale
-        # (45k edges, 120x160 frames) the per-chunk frame gather is the
-        # memory hot spot; index_select avoids an extra copy
-        f = torch.index_select(fmap2[0], 0, jj[s:e]).float()
-        x0 = c[:, 0].floor().long()                      # (m, P, P)
-        y0 = c[:, 1].floor().long()
-        i1 = y0[..., None, None] + di.view(1, 1, 1, D, 1)
-        j1 = x0[..., None, None] + di.view(1, 1, 1, 1, D)
-        i1, j1 = torch.broadcast_tensors(i1, j1)         # (m, P, P, D, D)
-        inb = ((i1 >= 0) & (i1 < H2) & (j1 >= 0) & (j1 < W2))
-        lin = (i1.clamp(0, H2 - 1) * W2
-               + j1.clamp(0, W2 - 1)).reshape(m, 1, -1)
-        fg = torch.gather(f.reshape(m, C, H2 * W2), 2,
-                          lin.expand(-1, C, -1))
-        fg = fg.view(m, C, P, P, D, D) * inb[:, None].float()
-        # corr[m][iy][jx][p_y][p_x]: dot over C (f32 accumulate)
-        sc = (g[..., None, None] * fg).sum(1)            # (m, P, P, D, D)
-        corr = sc.permute(0, 3, 4, 1, 2)                 # (m, iy, jx, P, P)
-        dx = (c[:, 0] - c[:, 0].floor())[:, None, None]  # (m, 1, 1, P, P)
-        dy = (c[:, 1] - c[:, 1].floor())[:, None, None]
-        out = ((1 - dx) * (1 - dy) * corr[:, :D - 1, :D - 1]
-               + dx * (1 - dy) * corr[:, :D - 1, 1:]
-               + (1 - dx) * dy * corr[:, 1:, :D - 1]
-               + dx * dy * corr[:, 1:, 1:])
-        outs.append(out.permute(0, 2, 1, 3, 4))          # (m, jx, iy, P, P)
-    return torch.cat(outs, 0)[None]
+    out_all = torch.empty(E, D - 1, D - 1, P, P)
+    order = torch.argsort(jj, stable=True)
+    bounds = torch.searchsorted(
+        jj[order], torch.arange(int(fmap2.shape[1]) + 1))
+    for fidx in range(int(fmap2.shape[1])):
+        lo, hi = int(bounds[fidx]), int(bounds[fidx + 1])
+        if lo == hi:
+            continue
+        f_flat = fmap2[0, fidx].float().reshape(C, H2 * W2)  # view-ish
+        for s in range(lo, hi, chunk):
+            e = min(s + chunk, hi)
+            sel = order[s:e]
+            m = e - s
+            c = coords[0, sel]                           # (m, 2, P, P)
+            g = fmap1[0, ii[sel]].float()                # (m, C, P, P)
+            x0 = c[:, 0].floor().long()                  # (m, P, P)
+            y0 = c[:, 1].floor().long()
+            i1 = y0[..., None, None] + di.view(1, 1, 1, D, 1)
+            j1 = x0[..., None, None] + di.view(1, 1, 1, 1, D)
+            i1, j1 = torch.broadcast_tensors(i1, j1)     # (m, P, P, D, D)
+            inb = ((i1 >= 0) & (i1 < H2) & (j1 >= 0) & (j1 < W2))
+            lin = (i1.clamp(0, H2 - 1) * W2
+                   + j1.clamp(0, W2 - 1)).reshape(-1)
+            fg = f_flat[:, lin].view(C, m, P, P, D, D)
+            fg = fg * inb[None].float()
+            # corr[m][iy][jx][p_y][p_x]: dot over C (f32 accumulate)
+            sc = (g.permute(1, 0, 2, 3)[..., None, None] * fg).sum(0)
+            corr = sc.permute(0, 3, 4, 1, 2)             # (m, iy, jx, P, P)
+            dx = (c[:, 0] - c[:, 0].floor())[:, None, None]
+            dy = (c[:, 1] - c[:, 1].floor())[:, None, None]
+            out = ((1 - dx) * (1 - dy) * corr[:, :D - 1, :D - 1]
+                   + dx * (1 - dy) * corr[:, :D - 1, 1:]
+                   + (1 - dx) * dy * corr[:, 1:, :D - 1]
+                   + dx * dy * corr[:, 1:, 1:])
+            out_all[sel] = out.permute(0, 2, 1, 3, 4)    # (m, jx, iy, P, P)
+    return out_all[None]
 
 
 # ---------------------------------------------------------------------------
@@ -139,7 +149,11 @@ def ba_stub(poses, patches, intrinsics, target, weight, lmbda,
         jnp.asarray(pi32(ii.numpy())), jnp.asarray(pi32(jj.numpy())),
         jnp.asarray(pi32(kk.numpy())), jnp.asarray(valid),
         jnp.int32(int(t0)), jnp.int32(int(t1)),
-        n_cap=32, k_cap=2048, iterations=iterations)
+        # k_cap must cover the distinct patches touched by the active
+        # window: at the 480p default point that's ~(REMOVAL_WINDOW+4)*96
+        # ~ 2.5k — 2048 silently dropped the overflow (compactify's
+        # mode="drop") and skewed full-scale parity
+        n_cap=32, k_cap=4096, iterations=iterations)
     poses[0].copy_(torch.from_numpy(np.asarray(new_poses)))
     patches[0].copy_(torch.from_numpy(np.asarray(new_patches)))
 
