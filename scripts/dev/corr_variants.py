@@ -139,12 +139,54 @@ def _body_v7(fmap_ref, x0_ref, y0_ref, ri_ref, dx_ref, dy_ref, e, p, g,
                   rr=ri_ref[e, p])
 
 
+def _kernel_v8(tile_frame_ref, nlive_ref,
+               x0a_ref, y0a_ref, ria_ref, dxa_ref, dya_ref,
+               x0b_ref, y0b_ref, rib_ref, dxb_ref, dyb_ref,
+               g_ref, fmap1_ref, fmap2_ref, out_ref):
+    """v8: both levels' windows concatenated into one (16, 16, C) block
+    per (e, p) — one roll/convert/mult/reduce chain of double width
+    instead of two, halving per-iteration dispatch overhead.  Rolls are
+    per-level (residues differ) but the dot+reduce is one op."""
+    f32 = jnp.float32
+
+    @pl.when(pl.program_id(0) >= nlive_ref[0])
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(pl.program_id(0) < nlive_ref[0])
+    def _():
+        rows = jax.lax.broadcasted_iota(jnp.int32, (D, D - 1), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (D, D - 1), 1)
+        for e in range(TILE):
+            for p in range(P2):
+                g = g_ref[e, p].astype(f32)
+                w1 = fmap1_ref[0, pl.ds(y0a_ref[e, p], D),
+                               pl.ds(pl.multiple_of(x0a_ref[e, p], 8),
+                                     DW), :]
+                w2 = fmap2_ref[0, pl.ds(y0b_ref[e, p], D),
+                               pl.ds(pl.multiple_of(x0b_ref[e, p], 8),
+                                     DW), :]
+                w1 = pltpu.roll(w1.astype(f32), -ria_ref[e, p],
+                                axis=1)[:, :D, :]
+                w2 = pltpu.roll(w2.astype(f32), -rib_ref[e, p],
+                                axis=1)[:, :D, :]
+                wc = jnp.concatenate([w1, w2], axis=0)      # (16, 8, C)
+                taps = jnp.sum(wc * g[None, None, :], axis=2)
+                out_ref[e, 0, p] = _blend(
+                    taps[:D], dya_ref[e, p], dxa_ref[e, p], rows,
+                    cols).astype(out_ref.dtype)
+                out_ref[e, 1, p] = _blend(
+                    taps[D:], dyb_ref[e, p], dxb_ref[e, p], rows,
+                    cols).astype(out_ref.dtype)
+
+
 KERNELS = {
     "v4": _mk_fused(_body_v4),
     "v6a": _mk_fused(_body_v6a),
     "v6b": _mk_fused(_body_v6b),
     "v6c": _mk_fused(_body_v6c),
     "v7": _mk_fused(_body_v7),
+    "v8": _kernel_v8,
 }
 
 
@@ -360,17 +402,30 @@ def check():
         print(f"{v}: {exact}")
 
 
-def bench(E):
+def bench(E, variants=None):
     from microbench import timed
     g, f1, f2, coords, tf = make_inputs(E)
-    for v in KERNELS:
+    # compile-and-compare first (f32 out for exactness), then time
+    ref = np.asarray(fused_variant(g, f1, f2, coords, tf, variant="v4"),
+                     np.float32)
+    for v in (variants or KERNELS):
         try:
+            out = np.asarray(
+                fused_variant(g, f1, f2, coords, tf, variant=v),
+                np.float32)
+            dmax = np.abs(out - ref).max()
+            rel = dmax / (np.abs(ref).max() + 1e-9)
+            tag = "EXACT" if dmax == 0 else f"maxrel {rel:.2e}"
+            print(f"fused {v}: {tag}", flush=True)
+            if rel > 2e-2:
+                print(f"fused {v}: REJECTED (wrong)", flush=True)
+                continue
             fn = partial(fused_variant, g, f1, f2, coords,
                          variant=v, out_dtype=jnp.bfloat16)
             timed(f"fused {v} E={E}", fn, tf, reps=8)
         except Exception as ex:  # Mosaic compile failures are expected
             print(f"fused {v} E={E}: FAILED {type(ex).__name__}: "
-                  f"{str(ex)[:200]}")
+                  f"{str(ex)[:200]}", flush=True)
 
 
 if __name__ == "__main__":

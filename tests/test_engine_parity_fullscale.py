@@ -105,7 +105,10 @@ def run_reference(cfg_dict, net_torch, frames):
     torch.randint = fake_randint
     torch.rand_like = lambda x, **kw: torch.full_like(x, DEPTH0)
     try:
-        with H.CudaToCpu():
+        # no_grad like the reference CLIs (ref demo.py:33): without it
+        # every stored net/target/weight retains its autograd graph and
+        # RSS grows ~7 GB/frame at full scale
+        with H.CudaToCpu(), torch.no_grad():
             slam = ref_mod.DPVO(cfg_ns, net_torch, ht=HT, wd=WD,
                                 viz=False)
             slam.motion_probe = lambda: 100.0
