@@ -243,7 +243,10 @@ def install_engine_stubs():
     """Install/refresh the dpvo.* stub modules for a full-engine run and
     import dpvo.dpvo.  Returns the imported dpvo.dpvo module."""
     if REF not in sys.path:
-        sys.path.insert(0, REF)
+        # APPEND: the reference tree ships same-named top-level modules
+        # (evaluate_euroc.py, demo.py, ...); prepending would shadow the
+        # repo's own for every test that runs after a parity test
+        sys.path.append(REF)
 
     F = _complete_fake_se3()
 
