@@ -257,6 +257,61 @@ def _kernel_fused_v5(tile_frame_ref, nlive_ref,
                     dyb_ref, e, p, g).astype(out_ref.dtype)
 
 
+def _kernel_fused_v9(tile_frame_ref, nlive_ref,
+                     x0a_ref, y0a_ref, ria_ref,
+                     x0b_ref, y0b_ref, rib_ref,
+                     dx_ref, dy_ref,
+                     g_ref, fmap1_ref, fmap2_ref, out_ref, taps_ref):
+    """Fused two-level kernel, v9: per-(edge, pixel) work stops at the
+    rolled channel dot (full-width vregs); the raw (8, 8) taps land in a
+    VMEM scratch and BOTH bilinear blends run once per tile as batched
+    full-width vector ops with static slices.
+
+    Rationale (scripts/dev/corr_variants.py probes at E=49k): the v4
+    kernel spends ~13.4 ms of its 27.0 ms in the per-(edge, pixel)
+    blend chain — dozens of vector instructions on (8, 8)/(7, 7) arrays
+    that use ~6% of the VPU lanes.  Batching the blends over the whole
+    (TILE, 2, P2) tile turns them into ~30 full-width instructions.
+    Keeping the per-pixel roll (vs folding the residue into the blend,
+    v6b) is what makes the batched x-blend STATIC: after the roll every
+    row's window starts at tap 0, so the blend is two FMAs on adjacent
+    static slices.  Bit-identical to v4: same dot, and the (16, 7)
+    blend matmul's zero terms add exactly +0.0 in f32.
+    """
+    f32 = jnp.float32
+
+    @pl.when(pl.program_id(0) >= nlive_ref[0])
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(pl.program_id(0) < nlive_ref[0])
+    def _():
+        def taps8(fmap_ref, x0_ref, y0_ref, ri_ref, e, p, g):
+            y0 = y0_ref[e, p]
+            x0 = pl.multiple_of(x0_ref[e, p], 8)
+            win = fmap_ref[0, pl.ds(y0, D), pl.ds(x0, DW), :]
+            win8 = pltpu.roll(win.astype(f32), -ri_ref[e, p],
+                              axis=1)[:, :D, :]                # (8,8,C)
+            return jnp.sum(win8 * g[None, None, :], axis=2)    # (8, 8)
+
+        for e in range(TILE):
+            for p in range(P2):
+                g = g_ref[e, p].astype(f32)                    # (C,)
+                taps_ref[e, 0, p] = taps8(
+                    fmap1_ref, x0a_ref, y0a_ref, ria_ref, e, p, g)
+                taps_ref[e, 1, p] = taps8(
+                    fmap2_ref, x0b_ref, y0b_ref, rib_ref, e, p, g)
+
+        taps = taps_ref[...]                         # (TILE, 2, P2, 8, 8)
+        dyv = dy_ref[...][:, :, :, None, None]       # (TILE, 2, P2, 1, 1)
+        ty = ((1.0 - dyv) * taps[:, :, :, :D - 1, :]
+              + dyv * taps[:, :, :, 1:, :])          # (TILE, 2, P2, 7, 8)
+        dxv = dx_ref[...][:, :, :, None, None]
+        out = ((1.0 - dxv) * ty[..., :D - 1]
+               + dxv * ty[..., 1:])                  # (TILE, 2, P2, 7, 7)
+        out_ref[...] = out.astype(out_ref.dtype)
+
+
 RAW_DIM = P2 * (D - 1) * (D - 1)   # per-level feature dim (441)
 
 
@@ -411,6 +466,37 @@ def corr_pallas_fused(g_pre, fmap1_padded, fmap2_padded, coords,
 
     smem = dict(memory_space=pltpu.SMEM)
     sspec = pl.BlockSpec((TILE, P2), lambda i, tf, nl: (i, 0), **smem)
+
+    if version == 9:
+        # dx/dy ride as (E, 2, P2) VMEM blocks for the batched blends;
+        # only the load metadata (x0/y0/ri) stays scalar in SMEM.
+        dx2 = jnp.stack([dxa, dxb], axis=1).astype(jnp.float32)
+        dy2 = jnp.stack([dya, dyb], axis=1).astype(jnp.float32)
+        vspec = pl.BlockSpec((TILE, 2, P2), lambda i, tf, nl: (i, 0, 0))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_tiles,),
+            in_specs=[sspec] * 6 + [vspec] * 2 + [
+                pl.BlockSpec((TILE, P2, C), lambda i, tf, nl: (i, 0, 0)),
+                pl.BlockSpec((1, Hp1, Wp1, C),
+                             lambda i, tf, nl: (tf[i], 0, 0, 0)),
+                pl.BlockSpec((1, Hp2, Wp2, C),
+                             lambda i, tf, nl: (tf[i], 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((TILE, 2, P2, D - 1, D - 1),
+                                   lambda i, tf, nl: (i, 0, 0, 0, 0)),
+            scratch_shapes=[pltpu.VMEM((TILE, 2, P2, D, D),
+                                       jnp.float32)],
+        )
+        return pl.pallas_call(
+            _kernel_fused_v9,
+            out_shape=jax.ShapeDtypeStruct((E, 2, P2, D - 1, D - 1),
+                                           out_dtype),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(tile_frame, n_live, x0a, bya, ria, x0b, byb, rib,
+          dx2, dy2, g_pre, fmap1_padded, fmap2_padded)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),

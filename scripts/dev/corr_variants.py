@@ -408,8 +408,20 @@ def bench(E, variants=None):
     # compile-and-compare first (f32 out for exactness), then time
     ref = np.asarray(fused_variant(g, f1, f2, coords, tf, variant="v4"),
                      np.float32)
-    for v in (variants or KERNELS):
+    for v in (variants or list(KERNELS) + ["v9"]):
         try:
+            if v == "v9":
+                # v9 lives in the shipped module (corr_pallas_fused)
+                out = np.asarray(cp.corr_pallas_fused(
+                    g, f1, f2, coords, tf, version=9), np.float32)
+                dmax = np.abs(out - ref).max()
+                tag = ("EXACT" if dmax == 0
+                       else f"maxrel {dmax / (np.abs(ref).max()):.2e}")
+                print(f"fused v9: {tag}", flush=True)
+                fn = partial(cp.corr_pallas_fused, g, f1, f2, coords,
+                             version=9, out_dtype=jnp.bfloat16)
+                timed(f"fused v9 E={E}", fn, tf, reps=8)
+                continue
             out = np.asarray(
                 fused_variant(g, f1, f2, coords, tf, variant=v),
                 np.float32)
@@ -435,5 +447,7 @@ if __name__ == "__main__":
         E = int(sys.argv[-1]) if sys.argv[-1].isdigit() else 16384
         probe(E)
     else:
-        E = int(sys.argv[1]) if len(sys.argv) > 1 else 49152
-        bench(E)
+        E = int(sys.argv[1]) if len(sys.argv) > 1 and \
+            sys.argv[1].isdigit() else 49152
+        names = [a for a in sys.argv[2:] if not a.isdigit()] or None
+        bench(E, variants=names)

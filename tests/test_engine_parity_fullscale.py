@@ -46,8 +46,10 @@ FH, FW = HT // 4, WD // 4
 M = 96
 # >=60 frames covers the full edge-retirement cycle (PATCH_LIFETIME=13,
 # REMOVAL_WINDOW=22) several times over; override to fit a time budget
-# (the per-frame cost is dominated by the reference's dense corr stub)
-N_FRAMES = int(os.environ.get("DPVO_FULLSCALE_FRAMES", "64"))
+# (the per-frame cost is dominated by the reference's dense corr stub).
+# Clamped to 60: a shorter run never exercises edge retirement and must
+# not masquerade as full-scale parity evidence (ADVICE r3).
+N_FRAMES = max(int(os.environ.get("DPVO_FULLSCALE_FRAMES", "64")), 60)
 DEPTH0 = 0.7
 INTR = np.array([320.0, 320.0, 320.0, 240.0], np.float32)
 
