@@ -29,6 +29,7 @@ HBM traffic per level drops from O(E * 64 * 9 * C) gathered rows to
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -42,6 +43,12 @@ D = 2 * R + 2  # tap window size
 DW = 16        # aligned load width (covers the 8 taps at any residue)
 P2 = 9         # patch pixels (3x3)
 TILE = 16      # edges per grid step
+
+# Default fused-kernel variant.  v9 (batched tile-wide blends from a
+# VMEM taps scratch) is bit-identical to v4 and measured 26.6 -> 21.8
+# ms/call at E=49152 on TPU v5e (scripts/dev/corr_variants.py); v4 is
+# the fallback if a toolchain rejects v9's layouts.
+FUSED_VERSION = int(os.environ.get("DPVO_CORR_VERSION", "9"))
 
 
 def padded_hw(H, W):
@@ -303,10 +310,13 @@ def _kernel_fused_v9(tile_frame_ref, nlive_ref,
                     fmap2_ref, x0b_ref, y0b_ref, rib_ref, e, p, g)
 
         taps = taps_ref[...]                         # (TILE, 2, P2, 8, 8)
-        dyv = dy_ref[...][:, :, :, None, None]       # (TILE, 2, P2, 1, 1)
+        # dx/dy arrive pre-expanded to (TILE, 2, P2, 1, 1): Mosaic's
+        # infer-vector-layout rejects the in-kernel (16,2,9) ->
+        # (16,2,9,1,1) shape cast a [:, :, :, None, None] would need.
+        dyv = dy_ref[...]                            # (TILE, 2, P2, 1, 1)
         ty = ((1.0 - dyv) * taps[:, :, :, :D - 1, :]
               + dyv * taps[:, :, :, 1:, :])          # (TILE, 2, P2, 7, 8)
-        dxv = dx_ref[...][:, :, :, None, None]
+        dxv = dx_ref[...]
         out = ((1.0 - dxv) * ty[..., :D - 1]
                + dxv * ty[..., 1:])                  # (TILE, 2, P2, 7, 7)
         out_ref[...] = out.astype(out_ref.dtype)
@@ -437,7 +447,7 @@ def _window_meta(coords, Hp, Wp):
 @partial(jax.jit, static_argnames=("interpret", "out_dtype", "version"))
 def corr_pallas_fused(g_pre, fmap1_padded, fmap2_padded, coords,
                       tile_frame, n_live=None, interpret=False,
-                      out_dtype=None, version=4):
+                      out_dtype=None, version=None):
     # version=5 (single-register taps roll) is bit-identical in
     # interpret mode and ~15% less VPU work on paper, but the dynamic
     # 16-lane roll crashes the Mosaic remote compiler (HTTP 500,
@@ -450,6 +460,8 @@ def corr_pallas_fused(g_pre, fmap1_padded, fmap2_padded, coords,
     (level, p, dy, dx) order — reshape(E, 882) feeds CorrDense's raw
     path (kernel rows permuted by raw_to_ref_perm, matmul-exact).
     """
+    if version is None:
+        version = FUSED_VERSION
     E, _, C = g_pre.shape
     F, Hp1, Wp1, _ = fmap1_padded.shape
     _, Hp2, Wp2, _ = fmap2_padded.shape
@@ -472,7 +484,10 @@ def corr_pallas_fused(g_pre, fmap1_padded, fmap2_padded, coords,
         # only the load metadata (x0/y0/ri) stays scalar in SMEM.
         dx2 = jnp.stack([dxa, dxb], axis=1).astype(jnp.float32)
         dy2 = jnp.stack([dya, dyb], axis=1).astype(jnp.float32)
-        vspec = pl.BlockSpec((TILE, 2, P2), lambda i, tf, nl: (i, 0, 0))
+        dx2 = dx2[:, :, :, None, None]               # (E, 2, P2, 1, 1)
+        dy2 = dy2[:, :, :, None, None]
+        vspec = pl.BlockSpec((TILE, 2, P2, 1, 1),
+                             lambda i, tf, nl: (i, 0, 0, 0, 0))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(n_tiles,),
@@ -488,12 +503,18 @@ def corr_pallas_fused(g_pre, fmap1_padded, fmap2_padded, coords,
             scratch_shapes=[pltpu.VMEM((TILE, 2, P2, D, D),
                                        jnp.float32)],
         )
+        # the (1, 1)-trailing dx/dy blocks tile-pad to (8, 128) each —
+        # ~4.7 MB of double-buffered VMEM on top of the fmap blocks,
+        # which busts the 16 MB scoped-vmem default at full-frame fmaps.
+        # v5e has 128 MB of VMEM; raise the scoped limit for this call.
         return pl.pallas_call(
             _kernel_fused_v9,
             out_shape=jax.ShapeDtypeStruct((E, 2, P2, D - 1, D - 1),
                                            out_dtype),
             grid_spec=grid_spec,
             interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
         )(tile_frame, n_live, x0a, bya, ria, x0b, byb, rib,
           dx2, dy2, g_pre, fmap1_padded, fmap2_padded)
 

@@ -67,10 +67,16 @@ def test_border_windows_match(version):
                                atol=1e-3, rtol=1e-3)
 
 
-def test_fused_two_level_matches_two_calls():
+@pytest.mark.parametrize("version", [4, 9])
+def test_fused_two_level_matches_two_calls(version):
     """corr_pallas_fused == two corr_pallas calls (levels stacked), and
     its raw layout is matmul-equivalent to the reference layout under
-    the raw_to_ref_perm row permutation (CorrDense's raw path)."""
+    the raw_to_ref_perm row permutation (CorrDense's raw path).
+
+    v9 (the TPU default) is bit-identical to v4 on real hardware
+    (scripts/dev/corr_variants.py: EXACT at E=16384 and E=49152); on
+    CPU interpret its batched blends reassociate the bilinear FMAs, so
+    it is compared with a ~1e-5 tolerance here while v4 stays exact."""
     rng = np.random.default_rng(1)
     F, H, W, C = 5, 32, 48, 128
     fmap1 = jnp.asarray(rng.normal(size=(F, H, W, C)), jnp.float32)
@@ -84,13 +90,16 @@ def test_fused_two_level_matches_two_calls():
     nl = jnp.full((1,), 3, jnp.int32)   # last tile dead
 
     fused = cp.corr_pallas_fused(g, f1p, f2p, coords, tf, n_live=nl,
-                                 interpret=True)
+                                 interpret=True, version=version)
     c1 = cp.corr_pallas(g, f1p, coords, tf, n_live=nl, interpret=True,
                         raw=True)
     c2 = cp.corr_pallas(g, f2p, coords / 4.0, tf, n_live=nl,
                         interpret=True, raw=True)
-    np.testing.assert_array_equal(np.asarray(fused),
-                                  np.asarray(jnp.stack([c1, c2], 1)))
+    want = np.asarray(jnp.stack([c1, c2], 1))
+    if version == 4:
+        np.testing.assert_array_equal(np.asarray(fused), want)
+    else:
+        np.testing.assert_allclose(np.asarray(fused), want, atol=1e-4)
     # dead tail tiles are zero
     assert not np.asarray(fused)[3 * cp.TILE:].any()
 
