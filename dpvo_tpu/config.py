@@ -84,6 +84,12 @@ class VOConfig:
     # reference's ORBvoc.txt, ref retrieval_dbow.py:31-34); "" trains
     # the vocabulary online from the session's first frames instead
     LOOP_VOCAB_PATH: str = ""
+    # keypoint matcher for loop constraints, standing in for the
+    # reference's DISK+LightGlue (ref long_term.py:46-47): "sift"
+    # (default; 99% inlier rate and ~100x tighter Sim3 than "orb" on
+    # the synthetic revisit bench — scripts/dev/lc_match_bench.py) or
+    # "orb" (faster, binary descriptors)
+    LOOP_MATCHER: str = "sift"
 
     # --- TPU-specific knobs (no reference equivalent) ---
     # static edge-table capacities; XLA shapes are fixed at these values.

@@ -3,8 +3,9 @@ missing#5 / next#5).
 
 The reference builds Sim3 loop constraints from DISK keypoints +
 LightGlue matches (ref methods/dpvo/dpvo/loop_closure/long_term.py:
-46-47); the rebuild uses ORB + ratio-test BFMatcher (kornia is not in
-this image).  This bench measures what that costs ON THE SAME GEOMETRY:
+46-47); the rebuild ships SIFT + ratio-test BFMatcher (default) with
+ORB + Hamming as the fast fallback (kornia is not in this image).
+This bench measures what each costs ON THE SAME GEOMETRY:
 
 - a synthetic revisit with EXACT ground truth: a multi-octave textured
   plane rendered through pinhole homographies; visit A (3 frames) and
@@ -13,10 +14,11 @@ this image).  This bench measures what that costs ON THE SAME GEOMETRY:
 - the full close_loop pipeline runs per matcher: detect/describe,
   triplet triangulation via structure-only ba_iterative, cross-visit
   matching, RANSAC-Umeyama;
-- matchers compared: (a) ORB+BF ratio (shipped), (b) an ORACLE matcher
-  (ground-truth correspondences from the known homographies at the
-  same keypoint budget) standing in for a near-perfect learned
-  matcher — the DISK+LightGlue ceiling.
+- matchers compared: (a) ORB+BF ratio (fallback), (b) SIFT+BF ratio
+  (shipped default), (c) an ORACLE matcher (ground-truth
+  correspondences from the known homographies on ORB keypoints)
+  standing in for a near-perfect learned matcher — the DISK+LightGlue
+  ceiling at the ORB keypoint budget.
 
 Outputs per matcher: match count, RANSAC inlier count/rate, rotation
 error (deg), translation error (after scale), scale error (%).
@@ -32,7 +34,7 @@ import numpy as np
 import cv2
 
 from dpvo_tpu.loop_closure.optim_utils import ransac_umeyama
-from dpvo_tpu.loop_closure.long_term import _match
+from dpvo_tpu.loop_closure.long_term import _match, _sift_descriptors
 from dpvo_tpu.loop_closure.retrieval.retrieval_dbow import _orb_descriptors
 
 H, W = 480, 640
@@ -97,13 +99,14 @@ def visit_poses(base_t, yaw, n=3, baseline=0.25):
     return out
 
 
-def triangulate_triplet(frames, poses, matcher, kp_budget=1024):
+def triangulate_triplet(frames, poses, matcher, kp_budget=1024,
+                        detect=_orb_descriptors):
     """estimate_3d_keypoints analog on known poses: detect on the center
     frame, match to both neighbors, midpoint-triangulate each track
     (exact poses make DLT unnecessary for the bench)."""
     kps, descs = [], []
     for f in frames:
-        p, d = _orb_descriptors(f, n_features=kp_budget)
+        p, d = detect(f, n_features=kp_budget)
         kps.append(p)
         descs.append(d)
     m01 = matcher(1, 0, kps, descs)
@@ -189,31 +192,32 @@ def run(seed=7, drift_rot_deg=6.0, drift_t=(0.35, -0.2, 0.15),
         # note scale folds into the triangulated depth below
 
     results = {}
-    for name in ("orb", "oracle"):
-        if name == "orb":
+    for name in ("orb", "sift", "oracle"):
+        detect = _sift_descriptors if name == "sift" else _orb_descriptors
+        if name in ("orb", "sift"):
             m_a = orb_matcher
             m_b = orb_matcher
-            cross = lambda da, db: _match(da, db)
         else:
             m_a = make_oracle_matcher(poses_a, frames_a[0].shape)
             m_b = make_oracle_matcher(poses_b_true, frames_b[0].shape)
 
-        tri_a = triangulate_triplet(frames_a, poses_a, m_a)
+        tri_a = triangulate_triplet(frames_a, poses_a, m_a, detect=detect)
         # triangulate B against drifted poses but with the TRUE-geometry
         # matcher (the matcher sees images; drift only affects poses).
         # scale: homogeneous triangulation against (Rp, tp) with
         # tp = (tcw - Rp t_d / s); X' solves x = Rp X' + tp * 1 — to get
         # X' = s R X + t we scale the drifted translation consistently:
         poses_bd = [(Rp, s_d * tp) for Rp, tp in poses_b_drift]
-        tri_b = triangulate_triplet(frames_b, poses_bd, m_b)
+        tri_b = triangulate_triplet(frames_b, poses_bd, m_b,
+                                    detect=detect)
         if tri_a is None or tri_b is None:
             results[name] = None
             continue
         pts_a, d_a, kp_a = tri_a
         pts_b, d_b, kp_b = tri_b
 
-        if name == "orb":
-            m = cross(d_a, d_b)
+        if name in ("orb", "sift"):
+            m = _match(d_a, d_b)
         else:
             # oracle cross-visit: same plane point within 1.5 px via
             # homographies of the CENTER frames of each visit
@@ -261,7 +265,7 @@ def run(seed=7, drift_rot_deg=6.0, drift_t=(0.35, -0.2, 0.15),
 
 if __name__ == "__main__":
     seeds = [7, 17, 27]
-    agg = {"orb": [], "oracle": []}
+    agg = {"orb": [], "sift": [], "oracle": []}
     for s in seeds:
         print(f"--- seed {s}")
         r = run(seed=s)
