@@ -190,6 +190,154 @@ KERNELS = {
 }
 
 
+# ------------------------------------------------------------------ v10
+# MXU channel dot: per (e, p) both levels' rolled bf16 windows stack
+# into one (128 taps, C) matrix and ONE dot_general against the g row
+# computes all 128 taps — the VPU stops doing the 56-op lane reduction
+# entirely (it was ~60% of v9's issue count) and only handles loads,
+# rolls and the batched blends.  bf16 x bf16 -> f32 products are exact
+# (same as v4's f32 multiply); only the f32 ACCUMULATION ORDER differs
+# (MXU systolic chain vs VPU shuffle tree), so v10 is tolerance-equal
+# to v4, not bit-equal.  Output lanes are (level*64 + dy*8 + dx) per
+# pixel with dy=7 / dx=7 lanes zeroed (dead): feature dim 9*128=1152.
+
+def _roll_x_bf16(win, rr):
+    """Dynamic roll along axis 1 of a bf16 (8, 16, C) window.
+
+    bf16 arrays pack two values per 32-bit lane-row; Mosaic's dynamic
+    roll needs 32-bit elements, so pair ADJACENT CHANNELS into int32
+    (the roll axis is x — channel pairing is unaffected), roll, and
+    bitcast back."""
+    w32 = win.reshape(D, DW, -1, 2)
+    w32 = jax.lax.bitcast_convert_type(w32, jnp.int32)  # (8, 16, C//2)
+    w32 = pltpu.roll(w32, -rr, axis=1)
+    out = jax.lax.bitcast_convert_type(w32, jnp.bfloat16)
+    return out.reshape(D, DW, -1)
+
+
+def _mk_v10(roll_fn, row_dot):
+    def kernel(tile_frame_ref, nlive_ref,
+               x0a_ref, y0a_ref, ria_ref,
+               x0b_ref, y0b_ref, rib_ref,
+               dx2_ref, dy2_ref,
+               g_ref, fmap1_ref, fmap2_ref, out_ref, taps_ref):
+        i32 = jnp.int32
+
+        @pl.when(pl.program_id(0) >= nlive_ref[0])
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        @pl.when(pl.program_id(0) < nlive_ref[0])
+        def _():
+            C = g_ref.shape[-1]
+            for e in range(TILE):
+                for p in range(P2):
+                    w1 = fmap1_ref[0, pl.ds(y0a_ref[e, p], D),
+                                   pl.ds(pl.multiple_of(x0a_ref[e, p], 8),
+                                         DW), :]
+                    w2 = fmap2_ref[0, pl.ds(y0b_ref[e, p], D),
+                                   pl.ds(pl.multiple_of(x0b_ref[e, p], 8),
+                                         DW), :]
+                    w1 = roll_fn(w1, ria_ref[e, p])[:, :D, :]
+                    w2 = roll_fn(w2, rib_ref[e, p])[:, :D, :]
+                    W = jnp.concatenate(
+                        [w1.reshape(D * D, C), w2.reshape(D * D, C)],
+                        axis=0)                          # (128, C) bf16
+                    g = g_ref[e, p]                      # (C,) bf16
+                    if row_dot:
+                        taps = jax.lax.dot_general(
+                            g.reshape(1, C), W, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        taps_ref[e, p] = taps[0]         # (128,) f32
+                    else:
+                        taps = jax.lax.dot_general(
+                            W, g.reshape(C, 1), (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        taps_ref[e, p] = taps[:, 0]
+
+            taps = taps_ref[...]                 # (TILE, P2, 128) f32
+            lane = jax.lax.broadcasted_iota(i32, (TILE, P2, 128), 2)
+            dyv = jnp.where(lane < 64, dy2_ref[:, :, 0:1],
+                            dy2_ref[:, :, 1:2])
+            dxv = jnp.where(lane < 64, dx2_ref[:, :, 0:1],
+                            dx2_ref[:, :, 1:2])
+            # lanes are (level*64 + y*8 + x): y+1 == lane+8, x+1 == lane+1
+            # (rolls use the positive modular shift — static negatives
+            # are rejected).  Wrap garbage lands only on y==7 / x==7
+            # lanes, masked below.
+            ty = (1.0 - dyv) * taps + dyv * pltpu.roll(taps, 120, axis=2)
+            tx = (1.0 - dxv) * ty + dxv * pltpu.roll(ty, 127, axis=2)
+            alive = ((lane % 8 < D - 1)
+                     & ((lane // 8) % 8 < D - 1))
+            out_ref[...] = jnp.where(alive, tx, 0.0).astype(out_ref.dtype)
+    return kernel
+
+
+V10_KERNELS = {
+    "v10": _mk_v10(_roll_x_bf16, True),          # bf16 roll, row dot
+    "v10c": _mk_v10(_roll_x_bf16, False),        # bf16 roll, column dot
+    "v10f": _mk_v10(
+        lambda w, rr: pltpu.roll(w.astype(jnp.float32), -rr,
+                                 axis=1).astype(jnp.bfloat16), True),
+}
+
+
+@partial(jax.jit, static_argnames=("variant", "interpret", "out_dtype"))
+def v10_variant(g_pre, fmap1_padded, fmap2_padded, coords, tile_frame,
+                n_live=None, variant="v10", interpret=False,
+                out_dtype=None):
+    """v10 family: returns (E, P2, 128) features, lanes (level, dy, dx)
+    with dy==7 / dx==7 lanes zero."""
+    E, _, C = g_pre.shape
+    F, Hp1, Wp1, _ = fmap1_padded.shape
+    _, Hp2, Wp2, _ = fmap2_padded.shape
+    n_tiles = E // TILE
+    if n_live is None:
+        n_live = jnp.full((1,), n_tiles, jnp.int32)
+    else:
+        n_live = jnp.asarray(n_live, jnp.int32).reshape(1)
+    out_dtype = out_dtype or jnp.float32
+
+    x0a, bya, ria, dxa, dya = cp._window_meta(coords, Hp1, Wp1)
+    x0b, byb, rib, dxb, dyb = cp._window_meta(coords / 4.0, Hp2, Wp2)
+    dx2 = jnp.stack([dxa, dxb], axis=-1).astype(jnp.float32)  # (E, P2, 2)
+    dy2 = jnp.stack([dya, dyb], axis=-1).astype(jnp.float32)
+
+    smem = dict(memory_space=pltpu.SMEM)
+    sspec = pl.BlockSpec((TILE, P2), lambda i, tf, nl: (i, 0), **smem)
+    vspec2 = pl.BlockSpec((TILE, P2, 2), lambda i, tf, nl: (i, 0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[sspec] * 6 + [vspec2] * 2 + [
+            pl.BlockSpec((TILE, P2, C), lambda i, tf, nl: (i, 0, 0)),
+            pl.BlockSpec((1, Hp1, Wp1, C),
+                         lambda i, tf, nl: (tf[i], 0, 0, 0)),
+            pl.BlockSpec((1, Hp2, Wp2, C),
+                         lambda i, tf, nl: (tf[i], 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((TILE, P2, 128),
+                               lambda i, tf, nl: (i, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((TILE, P2, 128), jnp.float32)],
+    )
+    return pl.pallas_call(
+        V10_KERNELS[variant],
+        out_shape=jax.ShapeDtypeStruct((E, P2, 128), out_dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(tile_frame, n_live, x0a, bya, ria, x0b, byb, rib,
+      dx2, dy2, g_pre, fmap1_padded, fmap2_padded)
+
+
+def v10_to_ref(out10):
+    """(E, P2, 128) v10 features -> (E, 2, P2, 7, 7) fused layout."""
+    E = out10.shape[0]
+    t = np.asarray(out10, np.float32).reshape(E, P2, 2, 8, 8)
+    return t[:, :, :, :7, :7].transpose(0, 2, 1, 3, 4)
+
+
 # ---------------------------------------------------------------- probes
 # Phase-attribution kernels: same tile/loop structure and loads as the
 # real kernel, each keeping a prefix of the per-(e, p) pipeline.  The
@@ -400,16 +548,46 @@ def check():
         rel = d.max() / (np.abs(np.asarray(ref, np.float32)).max() + 1e-9)
         exact = "EXACT" if d.max() == 0 else f"maxrel {rel:.2e}"
         print(f"{v}: {exact}")
+    for v in V10_KERNELS:
+        try:
+            out = v10_to_ref(v10_variant(g, f1, f2, coords, tf,
+                                         variant=v, interpret=True))
+            d = np.abs(out - np.asarray(ref, np.float32))
+            rel = d.max() / (np.abs(np.asarray(ref, np.float32)).max()
+                             + 1e-9)
+            exact = "EXACT" if d.max() == 0 else f"maxrel {rel:.2e}"
+            print(f"{v}: {exact}")
+        except Exception as ex:
+            print(f"{v}: FAILED {type(ex).__name__}: {str(ex)[:200]}")
 
 
-def bench(E, variants=None):
+def bench(E, variants=None, fast=False):
     from microbench import timed
     g, f1, f2, coords, tf = make_inputs(E)
-    # compile-and-compare first (f32 out for exactness), then time
-    ref = np.asarray(fused_variant(g, f1, f2, coords, tf, variant="v4"),
-                     np.float32)
+    # compile-and-compare first (f32 out for exactness), then time;
+    # fast=True skips the v4 reference compile (timing only)
+    ref = None
+    if not fast:
+        ref = np.asarray(
+            fused_variant(g, f1, f2, coords, tf, variant="v4"),
+            np.float32)
     for v in (variants or list(KERNELS) + ["v9"]):
         try:
+            if v in V10_KERNELS:
+                if ref is not None:
+                    out = v10_to_ref(v10_variant(g, f1, f2, coords, tf,
+                                                 variant=v))
+                    dmax = np.abs(out - ref).max()
+                    rel = dmax / (np.abs(ref).max() + 1e-9)
+                    tag = "EXACT" if dmax == 0 else f"maxrel {rel:.2e}"
+                    print(f"fused {v}: {tag}", flush=True)
+                    if rel > 2e-2:
+                        print(f"fused {v}: REJECTED (wrong)", flush=True)
+                        continue
+                fn = partial(v10_variant, g, f1, f2, coords,
+                             variant=v, out_dtype=jnp.bfloat16)
+                timed(f"fused {v} E={E}", fn, tf, reps=8)
+                continue
             if v == "v9":
                 # v9 lives in the shipped module (corr_pallas_fused)
                 out = np.asarray(cp.corr_pallas_fused(
@@ -422,16 +600,17 @@ def bench(E, variants=None):
                              version=9, out_dtype=jnp.bfloat16)
                 timed(f"fused v9 E={E}", fn, tf, reps=8)
                 continue
-            out = np.asarray(
-                fused_variant(g, f1, f2, coords, tf, variant=v),
-                np.float32)
-            dmax = np.abs(out - ref).max()
-            rel = dmax / (np.abs(ref).max() + 1e-9)
-            tag = "EXACT" if dmax == 0 else f"maxrel {rel:.2e}"
-            print(f"fused {v}: {tag}", flush=True)
-            if rel > 2e-2:
-                print(f"fused {v}: REJECTED (wrong)", flush=True)
-                continue
+            if ref is not None:
+                out = np.asarray(
+                    fused_variant(g, f1, f2, coords, tf, variant=v),
+                    np.float32)
+                dmax = np.abs(out - ref).max()
+                rel = dmax / (np.abs(ref).max() + 1e-9)
+                tag = "EXACT" if dmax == 0 else f"maxrel {rel:.2e}"
+                print(f"fused {v}: {tag}", flush=True)
+                if rel > 2e-2:
+                    print(f"fused {v}: REJECTED (wrong)", flush=True)
+                    continue
             fn = partial(fused_variant, g, f1, f2, coords,
                          variant=v, out_dtype=jnp.bfloat16)
             timed(f"fused {v} E={E}", fn, tf, reps=8)
@@ -449,5 +628,7 @@ if __name__ == "__main__":
     else:
         E = int(sys.argv[1]) if len(sys.argv) > 1 and \
             sys.argv[1].isdigit() else 49152
-        names = [a for a in sys.argv[2:] if not a.isdigit()] or None
-        bench(E, variants=names)
+        fast = "fast" in sys.argv
+        names = [a for a in sys.argv[2:]
+                 if not a.isdigit() and a != "fast"] or None
+        bench(E, variants=names, fast=fast)
