@@ -1,11 +1,12 @@
 """Local-window BA variants at the retain-regime bucket (round 4).
 
-Measures ba_iterative (dense J_eff assembly) vs ba_global (compressed
-coupling + matrix-free CG) at the same operating point, plus phase
-probes of ba_iterative's per-iteration pieces, to decide which solver
-the engine should dispatch at large buckets (VERDICT r3 next#1c).
+Measures ba_iterative (dense J_eff assembly) at the operating point,
+plus phase probes of its per-iteration pieces.  Pass the token ``cg``
+to also time ba_global (compressed coupling + matrix-free CG) at
+cg_iters 12/24/48 — it measured 92-256 ms at bucket 49152 (round 4),
+so it is off by default.
 
-Run on TPU: python scripts/dev/ba_bench.py [bucket]
+Run on TPU: python scripts/dev/ba_bench.py [bucket] [live] [cg]
 """
 import sys
 import os
@@ -94,7 +95,17 @@ def live_sum1(*xs):
 
 
 def phase(fn, name):
+    # thread the int_arg perturbation (e_num + z, z==0 at runtime) into
+    # EVERY input so no probe body is loop-invariant inside microbench's
+    # fori_loop — otherwise XLA hoists it and reports near-zero time
     def f(e_num, poses, patches, target, weight, eii, ejj, ekk):
+        z = e_num // jnp.int32(2147483647)      # 0 at runtime, opaque
+        zf = z.astype(jnp.float32)
+        poses = poses + zf
+        patches = patches + zf
+        target = target + zf
+        weight = weight + zf
+        eii, ejj, ekk = eii + z, ejj + z, ekk + z
         valid = jnp.arange(bucket, dtype=jnp.int32) < e_num
         return fn(valid, poses, patches, target, weight, eii, ejj, ekk)
     timed(name, f, e_num, poses, patches, target, weight, eii, ejj,

@@ -97,7 +97,10 @@ def f_gpre(kk_mod, gmap):
 
 
 def f_coord_perm(kk_mod, coords2):
-    cs = coords2[perm_d]
+    # kk_mod carries the fold-proof perturbation (int_arg=0); fold it in
+    # so the body isn't loop-invariant inside microbench's fori_loop
+    z = kk_mod[0] // jnp.int32(2147483647)      # 0 at runtime, opaque
+    cs = (coords2 + z.astype(coords2.dtype))[perm_d]
     return jnp.clip(jnp.sum(cs), -1e6, 1e6)[None]
 
 

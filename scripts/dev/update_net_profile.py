@@ -62,7 +62,15 @@ def live_sum(out):
 
 
 def with_meta(f):
+    # thread the int_arg perturbation (e_num + z, z==0 at runtime) into
+    # every tensor input so no probe body is loop-invariant inside
+    # microbench's fori_loop (XLA would hoist it: near-zero times)
     def g(e_num, net, inp, corr, ii, jj, kk):
+        z = e_num // jnp.int32(2147483647)      # 0 at runtime, opaque
+        net = net + z.astype(net.dtype)
+        inp = inp + z.astype(inp.dtype)
+        corr = corr + z.astype(corr.dtype)
+        ii, jj, kk = ii + z, jj + z, kk + z
         valid = jnp.arange(bucket, dtype=jnp.int32) < e_num
         kk_g = jnp.where(valid, kk, -1)
         pair = jnp.where(valid, ii * jnp.int32(12345) + jj, -1)
@@ -107,10 +115,13 @@ d_params = dense_mod.init(key, jnp.zeros((8, DIM), dt))
 
 def f_mlps(valid, agg_meta, nbrs, net, inp, corr, ii, jj, kk):
     # 11 DIM->DIM matmuls + the 882->DIM corr encoder: the raw matmul
-    # load of one update (heads excluded)
+    # load of one update (heads excluded).  Random params: an all-zeros
+    # kernel lets XLA's algebraic simplifier erase the 882->DIM matmul.
     h = CorrDense(DIM, dt).apply(
-        {"params": {"kernel": np.zeros((2 * 49 * P * P, DIM), np.float32),
-                    "bias": np.zeros((DIM,), np.float32)}}, corr)
+        {"params": {
+            "kernel": rng.normal(size=(2 * 49 * P * P, DIM)).astype(
+                np.float32),
+            "bias": rng.normal(size=(DIM,)).astype(np.float32)}}, corr)
     x = net.astype(dt) + h
     for _ in range(11):
         x = dense_mod.apply(d_params, x)
