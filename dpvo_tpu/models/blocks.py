@@ -108,7 +108,36 @@ class SoftAgg(nn.Module):
 
     @nn.compact
     def __call__(self, x, jx=None, num_groups=None, valid=None,
-                 sorted_meta=None, shard_axis=None):
+                 sorted_meta=None, shard_axis=None, compact_meta=None,
+                 g_cap=None):
+        if compact_meta is not None:
+            # compact path: reductions land on per-GROUP rows (Pallas
+            # segmented dual-sum on TPU, see ops.agg_pallas), the output
+            # projection runs at group granularity, and ONE row gather
+            # broadcasts back — measured 4.3 -> ~1.5 ms per SoftAgg at
+            # the 45k-edge retain bucket vs the sorted-cumsum path.
+            from ..ops import agg_pallas
+            perm, gid_sorted, gid_orig = compact_meta
+            x_s = x[perm]
+            f = nn.Dense(self.dim, dtype=self.dtype, name="f")(x_s)
+            g = nn.Dense(self.dim, dtype=self.dtype, name="g")(x_s)
+            g32 = g.astype(jnp.float32)
+            # global per-column shift: constant within every group, so
+            # the softmax is invariant to it (same as the sorted path)
+            shift = jax.lax.stop_gradient(
+                jnp.max(g32, axis=0, keepdims=True))
+            E = x_s.shape[0]
+            use_kernel = (jax.default_backend() == "tpu"
+                          and E % agg_pallas.BLK == 0)
+            fn = (agg_pallas.segment_softmax_sums if use_kernel
+                  else agg_pallas.segment_softmax_sums_xla)
+            T = fn(g32, f.astype(jnp.float32), shift, gid_sorted,
+                   g_cap)                       # (G_pad, 2*dim) f32
+            Y = T[:, self.dim:] / jnp.maximum(T[:, :self.dim], 1e-12)
+            h = nn.Dense(self.dim, dtype=self.dtype,
+                         name="h")(Y.astype(self.dtype))
+            return h[gid_orig]
+
         f = nn.Dense(self.dim, dtype=self.dtype, name="f")(x)
         g = nn.Dense(self.dim, dtype=self.dtype, name="g")(x)
 

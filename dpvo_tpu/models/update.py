@@ -47,17 +47,32 @@ class CorrDense(nn.Module):
 
     @nn.compact
     def __call__(self, corr):
+        from ..ops.corr_pallas import RAW_DIM
         raw = isinstance(corr, tuple)
         in_dim = corr[1].shape[-1] if raw else corr.shape[-1]
+        # the param is ALWAYS checkpoint-shaped (2*49*p*p rows); raw
+        # forms remap rows to their feature layout at apply time
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (in_dim, self.features), jnp.float32)
+                            (2 * RAW_DIM if raw else in_dim,
+                             self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
         b = bias.astype(self.dtype)
         if raw:
-            from ..ops.corr_pallas import raw_to_ref_perm
+            from ..ops.corr_pallas import (raw_to_ref_perm, v10_row_map,
+                                           RAW_DIM, V10_DIM)
             _, feat, inv = corr
-            k = kernel[jnp.asarray(raw_to_ref_perm())].astype(self.dtype)
+            if in_dim == V10_DIM:
+                # v10 kernel layout: (p, level, dy, dx) with dead dy==7 /
+                # dx==7 lanes; dead rows gather an appended ZERO row so
+                # the matmul stays exact (the dead features are zero)
+                kz = jnp.concatenate(
+                    [kernel, jnp.zeros((1, self.features), kernel.dtype)])
+                k = kz[jnp.asarray(v10_row_map())].astype(self.dtype)
+            else:
+                assert in_dim == 2 * RAW_DIM, in_dim
+                k = kernel[jnp.asarray(raw_to_ref_perm())].astype(
+                    self.dtype)
             return (feat.astype(self.dtype) @ k + b)[inv]
         return corr.astype(self.dtype) @ kernel.astype(self.dtype) + b
 
@@ -68,7 +83,8 @@ class Update(nn.Module):
 
     @nn.compact
     def __call__(self, net, inp, corr, ii, jj, kk, valid=None,
-                 agg_meta=None, nbrs=None, shard_ctx=None):
+                 agg_meta=None, nbrs=None, shard_ctx=None,
+                 compact_meta=None, g_cap=None):
         """One recurrent update.
 
         net   (E, DIM)  hidden state per edge
@@ -78,6 +94,11 @@ class Update(nn.Module):
         agg_meta optional (meta_kk, meta_ij) sort metadata tuples
                  (perm, inv_perm, start, end) enabling the scatter-free
                  sorted-segment attention path
+        compact_meta optional (cm_kk, cm_ij) compact-rank metadata
+                 tuples (perm, gid_sorted, gid_orig) with static
+                 ``g_cap`` — the fastest path: per-group Pallas
+                 reductions (ops.agg_pallas); takes precedence over
+                 agg_meta
         shard_ctx optional (axis_name, gid_ij, g_cap): edge-sharded
                  inference inside ``shard_map`` — agg_kk stays
                  shard-local (the edge partitioner never splits a patch
@@ -133,6 +154,12 @@ class Update(nn.Module):
             net = net + SoftAgg(DIM, dt, name="agg_kk")(net, ku, E, valid)
             net = net + SoftAgg(DIM, dt, name="agg_ij")(
                 net, gid_ij, g_cap, valid, shard_axis=axis_name)
+        elif compact_meta is not None:
+            cm_kk, cm_ij = compact_meta
+            net = net + SoftAgg(DIM, dt, name="agg_kk")(
+                net, compact_meta=cm_kk, g_cap=g_cap)
+            net = net + SoftAgg(DIM, dt, name="agg_ij")(
+                net, compact_meta=cm_ij, g_cap=g_cap)
         elif agg_meta is not None:
             meta_kk, meta_ij = agg_meta
             net = net + SoftAgg(DIM, dt, name="agg_kk")(

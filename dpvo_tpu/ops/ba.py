@@ -127,7 +127,8 @@ def _edge_terms_center(poses, ctr, fx, fy, cx, cy, target, ii, jj, kk):
 
 @partial(jax.jit, static_argnames=("n_cap", "k_cap", "iterations"))
 def ba_iterative(poses, patches, intrinsics, target, weight, lmbda,
-                 ii, jj, kk, valid, t0, t1, n_cap, k_cap, iterations=2):
+                 ii, jj, kk, valid, t0, t1, n_cap, k_cap, iterations=2,
+                 eperm=None):
     """Inference BA (twin of cuda_ba, ba_cuda.cu:433-582).
 
     poses      (Np, 7) fp32
@@ -139,6 +140,10 @@ def ba_iterative(poses, patches, intrinsics, target, weight, lmbda,
     t0, t1     dynamic ints — poses in [t0, t1) are free
     n_cap      static pose-block capacity (>= t1 - t0)
     k_cap      static unique-patch capacity
+    eperm      optional precomputed stable sort of the valid-masked
+               ``kk`` (any tie order — runs only need to be contiguous;
+               the engine shares its (kk, jj) lexsort, saving one
+               45k-row argsort per update)
     Returns (poses', patches').
     """
     poses = jnp.asarray(poses, jnp.float32)
@@ -156,7 +161,8 @@ def ba_iterative(poses, patches, intrinsics, target, weight, lmbda,
     # costs ~270MB of HBM traffic per GN iteration.  Edge order only
     # permutes f32 accumulation order.
     kk_m = jnp.where(valid, kk, _INT_MAX)
-    eperm = jnp.argsort(kk_m, stable=True)
+    if eperm is None:
+        eperm = jnp.argsort(kk_m, stable=True)
     ii = ii[eperm]
     jj = jj[eperm]
     kk = kk[eperm]

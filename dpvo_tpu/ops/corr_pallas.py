@@ -44,11 +44,13 @@ DW = 16        # aligned load width (covers the 8 taps at any residue)
 P2 = 9         # patch pixels (3x3)
 TILE = 16      # edges per grid step
 
-# Default fused-kernel variant.  v9 (batched tile-wide blends from a
-# VMEM taps scratch) is bit-identical to v4 and measured 26.6 -> 21.8
-# ms/call at E=49152 on TPU v5e (scripts/dev/corr_variants.py); v4 is
-# the fallback if a toolchain rejects v9's layouts.
-FUSED_VERSION = int(os.environ.get("DPVO_CORR_VERSION", "9"))
+# Default fused-kernel variant.  v10 (MXU channel dot, batched blends)
+# measured 21.8 -> 14.1 ms/call at E=49152 on TPU v5e and is
+# tolerance-equal to v4 (maxrel ~2e-3, inside the reference's own fp16
+# corr gate).  v9 (batched blends, VPU dot) is bit-identical to v4 —
+# set DPVO_CORR_VERSION=9 for exact-f32 correlation, =4 if a toolchain
+# rejects the newer layouts.
+FUSED_VERSION = int(os.environ.get("DPVO_CORR_VERSION", "10"))
 
 
 def padded_hw(H, W):
@@ -322,7 +324,81 @@ def _kernel_fused_v9(tile_frame_ref, nlive_ref,
         out_ref[...] = out.astype(out_ref.dtype)
 
 
+def _kernel_fused_v10(tile_frame_ref, nlive_ref,
+                      x0a_ref, y0a_ref, ria_ref,
+                      x0b_ref, y0b_ref, rib_ref,
+                      dx2_ref, dy2_ref,
+                      g_ref, fmap1_ref, fmap2_ref, out_ref, taps_ref):
+    """Fused two-level kernel, v10: the channel dot runs on the MXU.
+
+    Per (edge, pixel) both levels' rolled bf16 windows stack into one
+    (128 taps, C) matrix and ONE dot_general against the g row computes
+    all 128 taps — the VPU stops doing the 56-op lane reduction that was
+    ~60% of v9's issue count and only handles loads, converts, rolls and
+    the batched blends.  bf16 x bf16 -> f32 MXU products are exact
+    (bf16 has fewer mantissa bits than the f32 multiply consumes); only
+    the f32 ACCUMULATION ORDER differs from v9 (systolic chain vs VPU
+    shuffle tree), so v10 is tolerance-equal to v4/v9, not bit-equal —
+    inside the reference's own fp16 corr regime (<1% mean rel error,
+    ref correlation_test.py:245-253; measured maxrel ~2e-3).
+
+    The roll still converts through f32 (Mosaic rejects dynamic rolls on
+    16-bit data — direct bf16 roll and an int32-pair bitcast both fail
+    to compile); per the phase probes (scripts/dev/corr_variants.py
+    probe) load+convert+roll is now the kernel's cost floor.
+
+    Output lanes per pixel are (level*64 + dy*8 + dx) with the dy==7 /
+    dx==7 lanes dead (zero): feature dim 9*128 = 1152, mapped onto the
+    corr encoder's kernel rows by ``v10_row_map`` (matmul-exact).
+    Measured 21.8 -> 14.1 ms/call at E=49152 on TPU v5e.
+    """
+    f32 = jnp.float32
+    i32 = jnp.int32
+
+    @pl.when(pl.program_id(0) >= nlive_ref[0])
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(pl.program_id(0) < nlive_ref[0])
+    def _():
+        C = g_ref.shape[-1]
+
+        def win8(fmap_ref, x0_ref, y0_ref, ri_ref, e, p):
+            w = fmap_ref[0, pl.ds(y0_ref[e, p], D),
+                         pl.ds(pl.multiple_of(x0_ref[e, p], 8), DW), :]
+            w = pltpu.roll(w.astype(f32), -ri_ref[e, p],
+                           axis=1).astype(jnp.bfloat16)
+            return w[:, :D, :]
+
+        for e in range(TILE):
+            for p in range(P2):
+                w1 = win8(fmap1_ref, x0a_ref, y0a_ref, ria_ref, e, p)
+                w2 = win8(fmap2_ref, x0b_ref, y0b_ref, rib_ref, e, p)
+                W = jnp.concatenate(
+                    [w1.reshape(D * D, C), w2.reshape(D * D, C)],
+                    axis=0)                           # (128, C) bf16
+                g = g_ref[e, p]                       # (C,) bf16
+                taps = jax.lax.dot_general(
+                    g.reshape(1, C), W, (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32)
+                taps_ref[e, p] = taps[0]              # (128,) f32
+
+        taps = taps_ref[...]                  # (TILE, P2, 128) f32
+        lane = jax.lax.broadcasted_iota(i32, (TILE, P2, 128), 2)
+        dyv = jnp.where(lane < 64, dy2_ref[:, :, 0:1], dy2_ref[:, :, 1:2])
+        dxv = jnp.where(lane < 64, dx2_ref[:, :, 0:1], dx2_ref[:, :, 1:2])
+        # lanes are (level*64 + dy*8 + dx): the +1-tap operands ride a
+        # positive modular lane roll (dy+1 == roll 120, dx+1 == roll 127;
+        # static negative shifts are rejected).  Wrap garbage lands only
+        # on the dy==7 / dx==7 lanes, masked below.
+        ty = (1.0 - dyv) * taps + dyv * pltpu.roll(taps, 120, axis=2)
+        tx = (1.0 - dxv) * ty + dxv * pltpu.roll(ty, 127, axis=2)
+        alive = ((lane % 8 < D - 1) & ((lane // 8) % 8 < D - 1))
+        out_ref[...] = jnp.where(alive, tx, 0.0).astype(out_ref.dtype)
+
+
 RAW_DIM = P2 * (D - 1) * (D - 1)   # per-level feature dim (441)
+V10_DIM = P2 * 128                 # v10 feature dim incl. dead lanes
 
 
 def raw_to_ref_perm():
@@ -343,6 +419,28 @@ def raw_to_ref_perm():
                                   + px) * 2 + level
                         i += 1
     return ref
+
+
+def v10_row_map():
+    """Row gather map from the v10 kernel's (p, level, dy, dx) feature
+    order (dim V10_DIM = 1152, dy/dx in [0, 8) with 7s dead) onto the
+    reference's interleaved (dx, dy, py, px, level) corr-encoder rows:
+    dead lanes map to index 2*RAW_DIM — callers append a ZERO row to the
+    kernel matrix there, so the matmul is exact (dead features are 0
+    anyway; the zero row keeps the gather in-bounds)."""
+    import numpy as np
+    rows = np.full(V10_DIM, 2 * RAW_DIM, np.int32)
+    i = 0
+    for py in range(3):
+        for px in range(3):
+            for level in range(2):
+                for dy in range(D):
+                    for dx in range(D):
+                        if dy < D - 1 and dx < D - 1:
+                            rows[i] = (((dx * (D - 1) + dy) * 3 + py) * 3
+                                       + px) * 2 + level
+                        i += 1
+    return rows
 
 
 @partial(jax.jit, static_argnames=("interpret", "version", "raw",
@@ -478,6 +576,37 @@ def corr_pallas_fused(g_pre, fmap1_padded, fmap2_padded, coords,
 
     smem = dict(memory_space=pltpu.SMEM)
     sspec = pl.BlockSpec((TILE, P2), lambda i, tf, nl: (i, 0), **smem)
+
+    if version == 10:
+        # MXU channel-dot kernel; output is the v10 feature layout
+        # (E, P2, 128) with lanes (level*64 + dy*8 + dx) — see
+        # v10_row_map for the corr-encoder row mapping.
+        dx2 = jnp.stack([dxa, dxb], axis=-1).astype(jnp.float32)
+        dy2 = jnp.stack([dya, dyb], axis=-1).astype(jnp.float32)
+        vspec2 = pl.BlockSpec((TILE, P2, 2), lambda i, tf, nl: (i, 0, 0))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_tiles,),
+            in_specs=[sspec] * 6 + [vspec2] * 2 + [
+                pl.BlockSpec((TILE, P2, C), lambda i, tf, nl: (i, 0, 0)),
+                pl.BlockSpec((1, Hp1, Wp1, C),
+                             lambda i, tf, nl: (tf[i], 0, 0, 0)),
+                pl.BlockSpec((1, Hp2, Wp2, C),
+                             lambda i, tf, nl: (tf[i], 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((TILE, P2, 128),
+                                   lambda i, tf, nl: (i, 0, 0)),
+            scratch_shapes=[pltpu.VMEM((TILE, P2, 128), jnp.float32)],
+        )
+        return pl.pallas_call(
+            _kernel_fused_v10,
+            out_shape=jax.ShapeDtypeStruct((E, P2, 128), out_dtype),
+            grid_spec=grid_spec,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+        )(tile_frame, n_live, x0a, bya, ria, x0b, byb, rib,
+          dx2, dy2, g_pre, fmap1_padded, fmap2_padded)
 
     if version == 9:
         # dx/dy ride as (E, 2, P2) VMEM blocks for the batched blends;

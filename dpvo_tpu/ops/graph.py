@@ -27,6 +27,15 @@ def neighbors(kk, jj, valid=None):
     # lexicographic stable sort by (kk, jj); invalid edges sort last
     kk_m = jnp.where(valid, kk, jnp.iinfo(jnp.int32).max)
     order = jnp.lexsort((jj, kk_m))
+    return neighbors_from_order(kk_m, valid, order)
+
+
+def neighbors_from_order(kk_m, valid, order):
+    """``neighbors`` body for a precomputed (kk, jj) lexsort ``order``
+    over sentinel-masked keys ``kk_m`` — lets the update program share
+    one sort between the temporal neighbors, the agg_kk compact
+    metadata and the BA edge sort."""
+    E = kk_m.shape[0]
     # group membership uses the masked keys: invalid edges (sentinel key)
     # can never match a real group, so they neither give nor receive
     kk_sorted = kk_m[order]

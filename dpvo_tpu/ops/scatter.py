@@ -104,6 +104,30 @@ def group_meta(ids):
     return perm, inv_perm, start, end
 
 
+def group_meta_compact_device(ids, order=None):
+    """Sort metadata for the COMPACT segment path (see ops.agg_pallas):
+    dense group ranks instead of per-row start/end bounds.
+
+    ids (E,) int32 (equal values form a group; mask invalid rows to
+    INT_MAX so they sort to the tail as a trash group).
+    order (E,) optional precomputed stable sort permutation of ``ids``
+    (any tie order) — lets callers share one sort across consumers.
+    Returns (perm, gid_sorted, gid_orig) int32: ``perm`` sorts rows by
+    group, ``gid_sorted`` are nondecreasing dense ranks (step <= 1) per
+    sorted row, ``gid_orig[r] = gid_sorted[inv_perm[r]]`` maps each
+    ORIGINAL row to its group rank.
+    """
+    E = ids.shape[0]
+    perm = (jnp.argsort(ids, stable=True).astype(jnp.int32)
+            if order is None else order.astype(jnp.int32))
+    s = ids[perm]
+    new_grp = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+    gid_sorted = (jnp.cumsum(new_grp.astype(jnp.int32)) - 1).astype(
+        jnp.int32)
+    gid_orig = jnp.zeros((E,), jnp.int32).at[perm].set(gid_sorted)
+    return perm, gid_sorted, gid_orig
+
+
 def group_meta_device(ids):
     """Device twin of ``group_meta``: sort metadata for sorted-segment
     ops, computed inside the update program (a 12k argsort costs ~40us

@@ -279,6 +279,9 @@ V10_KERNELS = {
     "v10f": _mk_v10(
         lambda w, rr: pltpu.roll(w.astype(jnp.float32), -rr,
                                  axis=1).astype(jnp.bfloat16), True),
+    # plain dynamic roll on bf16 data (no convert round-trip): the v10
+    # docstring's "needs 32-bit" claim re-tested on the current Mosaic
+    "v10b": _mk_v10(lambda w, rr: pltpu.roll(w, -rr, axis=1), True),
 }
 
 

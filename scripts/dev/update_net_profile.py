@@ -142,7 +142,44 @@ def f_row_gather(valid, agg_meta, nbrs, net, inp, corr, ii, jj, kk):
     return live_sum(net[end])
 
 
+def with_compact_meta(f):
+    """Like with_meta but building the round-5 compact-path metadata:
+    one (kk, jj) lexsort shared by neighbors + agg_kk, one pair sort."""
+    INT_MAX = jnp.iinfo(jnp.int32).max
+
+    def g(e_num, net, inp, corr, ii, jj, kk):
+        z = e_num // jnp.int32(2147483647)      # 0 at runtime, opaque
+        net = net + z.astype(net.dtype)
+        inp = inp + z.astype(inp.dtype)
+        corr = corr + z.astype(corr.dtype)
+        ii, jj, kk = ii + z, jj + z, kk + z
+        valid = jnp.arange(bucket, dtype=jnp.int32) < e_num
+        kk_g = jnp.where(valid, kk, INT_MAX)
+        pair = jnp.where(valid, ii * jnp.int32(12345) + jj, INT_MAX)
+        order = jnp.lexsort((jj, kk_g)).astype(jnp.int32)
+        nbrs = graph.neighbors_from_order(kk_g, valid, order)
+        from dpvo_tpu.ops.scatter import group_meta_compact_device
+        cm = (group_meta_compact_device(kk_g, order=order),
+              group_meta_compact_device(pair))
+        return f(valid, cm, nbrs, net, inp, corr, ii, jj, kk)
+    return g
+
+
+def f_full_compact(valid, cm, nbrs, net, inp, corr, ii, jj, kk):
+    out = update_mod.apply(u_params, net, inp, corr, ii, jj, kk, valid,
+                           nbrs=nbrs, compact_meta=cm, g_cap=4104)
+    return live_sum(out)
+
+
+def f_meta_compact(valid, cm, nbrs, net, inp, corr, ii, jj, kk):
+    return live_sum((cm, nbrs))
+
+
 ARGS = (net0, inp0, corr0, eii, ejj, ekk)
+timed(f"update full COMPACT (incl meta) bucket={bucket}",
+      with_compact_meta(f_full_compact), e_num, *ARGS, reps=8)
+timed(f"meta only COMPACT bucket={bucket}",
+      with_compact_meta(f_meta_compact), e_num, *ARGS, reps=8)
 timed(f"update full (incl meta) bucket={bucket}", with_meta(f_full),
       e_num, *ARGS, reps=8)
 timed(f"meta only bucket={bucket}", with_meta(f_meta_only),

@@ -113,3 +113,83 @@ def test_fused_two_level_matches_two_calls(version):
     perm = np.asarray(cp.raw_to_ref_perm())
     np.testing.assert_allclose(feat_raw @ Wm[perm], feat_ref @ Wm,
                                atol=2e-3)
+
+
+def test_v10_matches_v4_and_row_map():
+    """The v10 MXU kernel (the TPU default) against v4: tolerance-equal
+    (the MXU accumulates in a different order; the <1% gate mirrors the
+    reference's fp16 corr acceptance, ref correlation_test.py:245-253),
+    dead lanes zero, dead tail tiles zero, and the v10_row_map makes the
+    (E, 1152) feature vector matmul-equivalent to the reference layout
+    (CorrDense's v10 raw path)."""
+    rng = np.random.default_rng(2)
+    F, H, W, C = 5, 32, 48, 128
+    fmap1 = jnp.asarray(rng.normal(size=(F, H, W, C)), jnp.float32)
+    fmap2 = jnp.asarray(rng.normal(size=(F, H // 2, W // 2, C)),
+                        jnp.float32)
+    f1p, f2p = cp.pad_fmap(fmap1), cp.pad_fmap(fmap2)
+    E = 64
+    g = jnp.asarray(rng.normal(size=(E, 9, C)), jnp.float32)
+    coords = jnp.asarray(rng.uniform(-4, 40, (E, 2, 3, 3)), jnp.float32)
+    tf = jnp.asarray(np.sort(rng.integers(0, F, E // cp.TILE)), jnp.int32)
+    nl = jnp.full((1,), 3, jnp.int32)   # last tile dead
+
+    out10 = np.asarray(cp.corr_pallas_fused(
+        g, f1p, f2p, coords, tf, n_live=nl, interpret=True, version=10))
+    assert out10.shape == (E, cp.P2, 128)
+    ref4 = np.asarray(cp.corr_pallas_fused(
+        g, f1p, f2p, coords, tf, n_live=nl, interpret=True, version=4))
+
+    # lanes (level*64 + dy*8 + dx) -> (E, level, p, dy, dx), live 7x7
+    t = out10.reshape(E, cp.P2, 2, 8, 8)
+    live = t[:, :, :, :7, :7].transpose(0, 2, 1, 3, 4)
+    denom = np.abs(ref4).max() + 1e-9
+    rel = np.abs(live - ref4).max() / denom
+    assert rel < 1e-2, rel                      # the reference fp16 gate
+    # dead lanes and dead tail tiles are exactly zero
+    assert not t[:, :, :, 7, :].any() and not t[:, :, :, :, 7].any()
+    assert not out10[3 * cp.TILE:].any()
+
+    # v10_row_map matmul equivalence: the kernel's OWN live features,
+    # re-laid out into the reference interleave, produce the same
+    # matmul (isolates the map from kernel accumulation differences)
+    feat_ref = np.zeros((E, 2 * cp.RAW_DIM), np.float32)
+    for level in range(2):
+        for p in range(cp.P2):
+            py, px = p // 3, p % 3
+            for dy in range(7):
+                for dx in range(7):
+                    ridx = (((dx * 7 + dy) * 3 + py) * 3 + px) * 2 + level
+                    feat_ref[:, ridx] = t[:, p, level, dy, dx]
+    Wm = rng.normal(size=(2 * cp.RAW_DIM, 8)).astype(np.float32)
+    Wz = np.concatenate([Wm, np.zeros((1, 8), np.float32)])
+    rows = np.asarray(cp.v10_row_map())
+    got = out10.reshape(E, -1) @ Wz[rows]
+    np.testing.assert_allclose(got, feat_ref @ Wm, atol=1e-3)
+
+
+def test_corrdense_v10_raw_matches_interleaved():
+    """CorrDense fed the v10 tuple form == CorrDense on the interleaved
+    reference features, with the SAME (882, DIM) checkpoint params."""
+    from dpvo_tpu.models.update import CorrDense
+    rng = np.random.default_rng(3)
+    E, D = 8, 16
+    feat_ref = rng.normal(size=(E, 2 * cp.RAW_DIM)).astype(np.float32)
+    # place into the v10 layout: lanes (p, level, dy<8, dx<8)
+    v10 = np.zeros((E, cp.P2, 2, 8, 8), np.float32)
+    t = feat_ref.reshape(E, 49, 3, 3, 2)        # (dxdy, py, px, level)
+    for dx in range(7):
+        for dy in range(7):
+            for py in range(3):
+                for px in range(3):
+                    v10[:, py * 3 + px, :, dy, dx] = \
+                        t[:, dx * 7 + dy, py, px, :]
+    feat10 = v10.reshape(E, -1)
+
+    m = CorrDense(D)
+    params = m.init(KEY, jnp.asarray(feat_ref))
+    want = m.apply(params, jnp.asarray(feat_ref))
+    inv = jnp.arange(E, dtype=jnp.int32)
+    got = m.apply(params, ("raw", jnp.asarray(feat10), inv))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4)

@@ -72,6 +72,134 @@ def test_softagg_sorted_path_matches_generic():
                                np.asarray(out_generic), atol=1e-4)
 
 
+def test_group_meta_compact_device():
+    ids = np.array([5, 2, 5, 9, 2, 2, 7, 7])
+    perm, gid_s, gid_o = jax.tree.map(
+        np.asarray, scatter.group_meta_compact_device(jnp.asarray(ids)))
+    s = ids[perm]
+    assert (np.diff(s) >= 0).all()
+    # dense ranks: nondecreasing, step <= 1, start at 0
+    assert gid_s[0] == 0
+    assert ((np.diff(gid_s) == 0) | (np.diff(gid_s) == 1)).all()
+    # same id -> same rank, different id -> different rank
+    for r in range(len(ids)):
+        assert gid_o[r] == gid_s[list(perm).index(r)]
+    ranks = {i: gid_o[ids == i][0] for i in np.unique(ids)}
+    assert sorted(ranks.values()) == list(range(len(ranks)))
+
+
+def test_segment_softmax_sums_xla_vs_scatter():
+    from dpvo_tpu.ops import agg_pallas
+    rng = np.random.default_rng(3)
+    E, D, G = 96, 8, 11
+    ids = np.sort(rng.integers(0, G, E)).astype(np.int32)
+    new = np.ones(E, bool)
+    new[1:] = ids[1:] != ids[:-1]
+    gid = jnp.asarray((np.cumsum(new) - 1).astype(np.int32))
+    g = jnp.asarray(rng.normal(size=(E, D)) * 2, jnp.float32)
+    f = jnp.asarray(rng.normal(size=(E, D)), jnp.float32)
+    shift = jnp.max(g, axis=0, keepdims=True)
+
+    T = agg_pallas.segment_softmax_sums_xla(g, f, shift, gid, G)
+    e = np.exp(np.asarray(g) - np.asarray(shift))
+    ref1 = scatter.scatter_sum(jnp.asarray(e), gid,
+                               agg_pallas.padded_groups(G))
+    ref2 = scatter.scatter_sum(jnp.asarray(e) * f, gid,
+                               agg_pallas.padded_groups(G))
+    np.testing.assert_allclose(np.asarray(T[:, :D]), np.asarray(ref1),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(T[:, D:]), np.asarray(ref2),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_segment_softmax_sums_pallas_interpret():
+    """The TPU kernel, run in interpret mode on CPU, matches the XLA
+    twin at an engine-shaped problem (E multiple of BLK)."""
+    from dpvo_tpu.ops import agg_pallas
+    rng = np.random.default_rng(4)
+    E, D, G_cap = 2 * agg_pallas.BLK, 384, 64
+    ids = np.sort(rng.integers(0, G_cap - 2, E)).astype(np.int32)
+    new = np.ones(E, bool)
+    new[1:] = ids[1:] != ids[:-1]
+    gid = jnp.asarray((np.cumsum(new) - 1).astype(np.int32))
+    g = jnp.asarray(rng.normal(size=(E, D)), jnp.float32)
+    f = jnp.asarray(rng.normal(size=(E, D)), jnp.float32)
+    shift = jnp.max(g, axis=0, keepdims=True)
+
+    out = agg_pallas.segment_softmax_sums(g, f, shift, gid, G_cap,
+                                          interpret=True)
+    ref = agg_pallas.segment_softmax_sums_xla(g, f, shift, gid, G_cap)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=1e-5)
+
+
+def test_softagg_compact_path_matches_generic():
+    from dpvo_tpu.models.blocks import SoftAgg
+    rng = np.random.default_rng(5)
+    E, D = 64, 16
+    ids = rng.integers(0, 7, E)
+    x = jnp.asarray(rng.normal(size=(E, D)), jnp.float32)
+
+    m = SoftAgg(D)
+    _, ku = scatter.compactify(jnp.asarray(ids), size=E)
+    params = m.init(KEY, x, ku, E)
+    out_generic = m.apply(params, x, ku, E)
+
+    cm = scatter.group_meta_compact_device(jnp.asarray(ids))
+    out_compact = m.apply(params, x, compact_meta=cm, g_cap=16)
+    np.testing.assert_allclose(np.asarray(out_compact),
+                               np.asarray(out_generic), atol=1e-4)
+
+
+def test_update_compact_meta_matches_agg_meta():
+    """Update with compact_meta (TPU fast path, XLA twin on CPU) matches
+    the sorted-meta path, including invalid-row masking."""
+    from dpvo_tpu.models.update import Update, DIM
+    rng = np.random.default_rng(6)
+    E, P = 48, 3
+    ii = rng.integers(0, 6, E).astype(np.int32)
+    jj = (ii + rng.integers(1, 4, E)).astype(np.int32)
+    kk = (ii * 4 + rng.integers(0, 4, E)).astype(np.int32)
+    valid = np.ones(E, bool)
+    valid[-5:] = False
+    net = jnp.asarray(rng.normal(size=(E, DIM)), jnp.float32)
+    inp = jnp.asarray(rng.normal(size=(E, DIM)), jnp.float32)
+    corr = jnp.asarray(rng.normal(size=(E, 2 * 49 * P * P)), jnp.float32)
+
+    from dpvo_tpu.ops import graph
+    from dpvo_tpu.ops.scatter import (group_meta_device,
+                                      group_meta_compact_device)
+    INT_MAX = np.iinfo(np.int32).max
+    kk_g = jnp.where(jnp.asarray(valid), jnp.asarray(kk), -1)
+    pair = jnp.where(jnp.asarray(valid),
+                     jnp.asarray(ii) * 12345 + jnp.asarray(jj), -1)
+    agg_meta = (group_meta_device(kk_g), group_meta_device(pair))
+    nbrs = graph.neighbors(jnp.asarray(kk), jnp.asarray(jj),
+                           jnp.asarray(valid))
+
+    mod = Update(P)
+    params = mod.init(KEY, net, inp, corr, jnp.asarray(ii),
+                      jnp.asarray(jj), jnp.asarray(kk))
+    out_sorted = mod.apply(params, net, inp, corr, jnp.asarray(ii),
+                           jnp.asarray(jj), jnp.asarray(kk),
+                           jnp.asarray(valid), agg_meta=agg_meta,
+                           nbrs=nbrs)
+
+    kk_m = jnp.where(jnp.asarray(valid), jnp.asarray(kk), INT_MAX)
+    pair_m = jnp.where(jnp.asarray(valid),
+                       jnp.asarray(ii) * 12345 + jnp.asarray(jj),
+                       INT_MAX)
+    cm = (group_meta_compact_device(kk_m),
+          group_meta_compact_device(pair_m))
+    out_compact = mod.apply(params, net, inp, corr, jnp.asarray(ii),
+                            jnp.asarray(jj), jnp.asarray(kk),
+                            jnp.asarray(valid), nbrs=nbrs,
+                            compact_meta=cm, g_cap=32)
+    for a, b in zip(out_sorted, out_compact):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4)
+
+
 def test_engine_corr_grouping():
     """Host grouping produces frame-pure tiles covering every edge."""
     from dpvo_tpu.config import VOConfig
