@@ -236,8 +236,22 @@ def _update_core(params, poses, patches_buf, intrinsics_buf,
     ii_s = jnp.where(valid, ii, 0)
     jj_s = jnp.where(valid, jj, 0)
     kk_s = jnp.where(valid, kk, 0)
+    Gij_e = None
+    if compact_meta is not None:
+        # relative poses per frame PAIR (~300 at the retain bucket)
+        # instead of per edge: the agg_ij metadata already ranks the
+        # pairs densely, so one scatter-min finds a representative edge
+        # per pair and one gather broadcasts the table back
+        perm_ij, gid_s_ij, gid_o_ij = compact_meta[1]
+        E_b = ii.shape[0]
+        first = jnp.full((g_cap,), E_b - 1, jnp.int32).at[gid_s_ij].min(
+            jnp.arange(E_b, dtype=jnp.int32))
+        rep = perm_ij[first]
+        Gij_tab = lie.se3_mul(poses[jj_s[rep]],
+                              lie.se3_inv(poses[ii_s[rep]]))
+        Gij_e = Gij_tab[gid_o_ij]
     coords = pops.transform(poses, patches_buf, intrinsics_buf,
-                            ii_s, jj_s, kk_s)          # (E, P, P, 2)
+                            ii_s, jj_s, kk_s, Gij=Gij_e)  # (E, P, P, 2)
     coords2 = coords.transpose(0, 3, 1, 2)             # (E, 2, P, P)
 
     # two-level correlation (ref dpvo.py:200-207)
@@ -265,7 +279,9 @@ def _update_core(params, poses, patches_buf, intrinsics_buf,
             poses, patches_buf, intrinsics_buf[0], target, weight,
             jnp.float32(1e-4), ii_s, jj_s, kk_s, valid, t0, t1,
             n_cap=n_cap, k_cap=k_cap, iterations=iterations,
-            eperm=ba_perm)
+            eperm=ba_perm,
+            pair_gid=None if compact_meta is None else compact_meta[1][2],
+            pair_cap=None if compact_meta is None else g_cap)
 
     net_tab = jax.lax.dynamic_update_slice(
         net_tab, net.astype(net_tab.dtype), (0, 0))

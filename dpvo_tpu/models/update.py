@@ -60,15 +60,20 @@ class CorrDense(nn.Module):
         b = bias.astype(self.dtype)
         if raw:
             from ..ops.corr_pallas import (raw_to_ref_perm, v10_row_map,
-                                           RAW_DIM, V10_DIM)
+                                           v12_row_map, RAW_DIM, V10_DIM,
+                                           V12_DIM)
             _, feat, inv = corr
-            if in_dim == V10_DIM:
-                # v10 kernel layout: (p, level, dy, dx) with dead dy==7 /
-                # dx==7 lanes; dead rows gather an appended ZERO row so
-                # the matmul stays exact (the dead features are zero)
+            if in_dim in (V10_DIM, V12_DIM):
+                # v10/v12 kernel layouts: (p, level, dy, dx) lanes with
+                # dead positions; dead rows gather an appended ZERO row
+                # so the matmul stays exact (v10's dead features are
+                # zero; v12's carry wrap garbage that the zero row
+                # annihilates)
+                rows = (v10_row_map() if in_dim == V10_DIM
+                        else v12_row_map())
                 kz = jnp.concatenate(
                     [kernel, jnp.zeros((1, self.features), kernel.dtype)])
-                k = kz[jnp.asarray(v10_row_map())].astype(self.dtype)
+                k = kz[jnp.asarray(rows)].astype(self.dtype)
             else:
                 assert in_dim == 2 * RAW_DIM, in_dim
                 k = kernel[jnp.asarray(raw_to_ref_perm())].astype(

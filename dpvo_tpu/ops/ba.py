@@ -31,7 +31,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from . import lie, scatter
+from . import agg_pallas, lie, scatter
 
 _HI = jax.lax.Precision.HIGHEST
 _INT_MAX = jnp.iinfo(jnp.int32).max
@@ -62,7 +62,8 @@ def _blocked_cumsum(x, B=512):
     return (within + prefix[ext]).reshape(x.shape)
 
 
-def _edge_terms_center(poses, ctr, fx, fy, cx, cy, target, ii, jj, kk):
+def _edge_terms_center(poses, ctr, fx, fy, cx, cy, target, ii, jj, kk,
+                       Gij=None):
     """Per-edge residuals and Jacobians at the central patch pixel,
     literal rebuild of reprojection_residuals_and_hessian
     (ba_cuda.cu:265-333).
@@ -75,9 +76,10 @@ def _edge_terms_center(poses, ctr, fx, fy, cx, cy, target, ii, jj, kk):
 
     Returns r (E,2), w_mask (E,), Ji (E,2,6), Jj (E,2,6), Jz (E,2).
     """
-    gi = poses[ii]
-    gj = poses[jj]
-    Gij = lie.se3_mul(gj, lie.se3_inv(gi))
+    if Gij is None:
+        gi = poses[ii]
+        gj = poses[jj]
+        Gij = lie.se3_mul(gj, lie.se3_inv(gi))
     tij, qij = Gij[:, :3], Gij[:, 3:7]
 
     ce = ctr[kk]                                            # (E, 3)
@@ -125,10 +127,11 @@ def _edge_terms_center(poses, ctr, fx, fy, cx, cy, target, ii, jj, kk):
     return r, mask, Ji_rows, Jj_rows, Jz_rows
 
 
-@partial(jax.jit, static_argnames=("n_cap", "k_cap", "iterations"))
+@partial(jax.jit, static_argnames=("n_cap", "k_cap", "iterations",
+                                   "pair_cap"))
 def ba_iterative(poses, patches, intrinsics, target, weight, lmbda,
                  ii, jj, kk, valid, t0, t1, n_cap, k_cap, iterations=2,
-                 eperm=None):
+                 eperm=None, pair_gid=None, pair_cap=None):
     """Inference BA (twin of cuda_ba, ba_cuda.cu:433-582).
 
     poses      (Np, 7) fp32
@@ -144,6 +147,10 @@ def ba_iterative(poses, patches, intrinsics, target, weight, lmbda,
                ``kk`` (any tie order — runs only need to be contiguous;
                the engine shares its (kk, jj) lexsort, saving one
                45k-row argsort per update)
+    pair_gid   optional (E,) dense frame-pair ranks (< pair_cap,
+               static), in the INPUT edge order — enables the per-PAIR
+               relative-pose table inside each GN iteration (~300 pairs
+               vs 45k edges at the retain bucket)
     Returns (poses', patches').
     """
     poses = jnp.asarray(poses, jnp.float32)
@@ -171,12 +178,20 @@ def ba_iterative(poses, patches, intrinsics, target, weight, lmbda,
     weight = weight[eperm]
     kk_m = kk_m[eperm]                                      # sorted
 
+    pg = rep_pair = None
+    if pair_gid is not None:
+        pg = pair_gid[eperm]
+        rep_pair = jnp.full((pair_cap,), E - 1, jnp.int32).at[pg].min(
+            jnp.arange(E, dtype=jnp.int32))                 # sorted-row rep
+
     # compact the touched patch set to k_cap slots (cuda: torch::_unique).
     # kk_m is sorted, so compact slot ids are a cumsum over run starts —
     # no searchsorted (a 16k-query searchsorted costs ~1.5 ms on TPU)
     new_run = jnp.concatenate([jnp.ones((1,), bool),
                                kk_m[1:] != kk_m[:-1]])
     gid = jnp.cumsum(new_run.astype(jnp.int32)) - 1         # (E,)
+    use_seg_kernel = (jax.default_backend() == "tpu"
+                      and E % agg_pallas.BLK == 0)
     kx = jnp.full((k_cap,), _INT_MAX, jnp.int32).at[gid].set(
         kk_m, mode="drop")                                  # sorted uniques
     idx_e = jnp.arange(E, dtype=jnp.int32)
@@ -210,8 +225,13 @@ def ba_iterative(poses, patches, intrinsics, target, weight, lmbda,
     def iteration(_, state):
         poses, patches, ctr = state
 
+        Gij_e = None
+        if pg is not None:
+            Gt = lie.se3_mul(poses[jj[rep_pair]],
+                             lie.se3_inv(poses[ii[rep_pair]]))
+            Gij_e = Gt[pg]
         r, mask, Ji, Jj, Jz = _edge_terms_center(
-            poses, ctr, fx, fy, cx, cy, target, ii, jj, kk)
+            poses, ctr, fx, fy, cx, cy, target, ii, jj, kk, Gij=Gij_e)
 
         w = mask[:, None] * weight * valid[:, None]         # (E, 2)
 
@@ -246,14 +266,24 @@ def ba_iterative(poses, patches, intrinsics, target, weight, lmbda,
         vvec = jnp.einsum("era,er->a", wJeff, r, precision=_HI)
 
         # pose-depth coupling: each edge touches one patch column ku;
-        # edges are kk-sorted, so the per-slot sums are cumsum
-        # differences over contiguous runs (w already carries `valid`)
+        # edges are kk-sorted, so the per-slot sums reduce over
+        # contiguous runs (w already carries `valid`)
         A = jnp.einsum("er,era->ea", w * Jz, Jeff, precision=_HI)  # (E, D)
-        Emat = _per_slot(_blocked_cumsum(A)).T              # (D, k_cap)
-        Cu = jnp.stack([jnp.sum(w * Jz * Jz, axis=1),
-                        jnp.sum(w * r * Jz, axis=1)], axis=-1)
-        Cu = _per_slot(_blocked_cumsum(Cu))                 # (k_cap, 2)
-        C, u = Cu[:, 0], Cu[:, 1]
+        Cu_rows = jnp.stack([jnp.sum(w * Jz * Jz, axis=1),
+                             jnp.sum(w * r * Jz, axis=1)], axis=-1)
+        if use_seg_kernel:
+            # TPU: one Pallas compact segment-sum over [A | C | u]
+            # replaces the blocked cumsums + run-boundary gathers
+            # (~1.2 ms/iteration at the 45k bucket)
+            S = agg_pallas.segment_sums(
+                jnp.concatenate([A, Cu_rows], axis=1), gid,
+                k_cap + 1)[:k_cap]
+            Emat = S[:, :D].T                           # (D, k_cap)
+            C, u = S[:, D], S[:, D + 1]
+        else:
+            Emat = _per_slot(_blocked_cumsum(A)).T      # (D, k_cap)
+            Cu = _per_slot(_blocked_cumsum(Cu_rows))    # (k_cap, 2)
+            C, u = Cu[:, 0], Cu[:, 1]
 
         Q = 1.0 / (C + lmbda)                               # (k_cap,)
 

@@ -44,13 +44,15 @@ DW = 16        # aligned load width (covers the 8 taps at any residue)
 P2 = 9         # patch pixels (3x3)
 TILE = 16      # edges per grid step
 
-# Default fused-kernel variant.  v10 (MXU channel dot, batched blends)
-# measured 21.8 -> 14.1 ms/call at E=49152 on TPU v5e and is
-# tolerance-equal to v4 (maxrel ~2e-3, inside the reference's own fp16
-# corr gate).  v9 (batched blends, VPU dot) is bit-identical to v4 —
-# set DPVO_CORR_VERSION=9 for exact-f32 correlation, =4 if a toolchain
+# Default fused-kernel variant.  v12 (MXU channel dot on the raw
+# 16-wide bf16 windows, residue select folded into the batched blends)
+# measured 21.8 (v9) -> 14.1 (v10) -> 11.7 ms/call at E=49152 on TPU
+# v5e, and matches v4 to maxrel ~1e-7 on hardware (bf16 window rows
+# enter the f32-accumulating MXU unrounded; only summation order
+# differs).  v9 (batched blends, VPU dot) is bit-identical to v4 — set
+# DPVO_CORR_VERSION=9 for exact-f32 correlation, =4 if a toolchain
 # rejects the newer layouts.
-FUSED_VERSION = int(os.environ.get("DPVO_CORR_VERSION", "10"))
+FUSED_VERSION = int(os.environ.get("DPVO_CORR_VERSION", "12"))
 
 
 def padded_hw(H, W):
@@ -397,8 +399,99 @@ def _kernel_fused_v10(tile_frame_ref, nlive_ref,
         out_ref[...] = jnp.where(alive, tx, 0.0).astype(out_ref.dtype)
 
 
+def _kernel_fused_v12(tile_frame_ref, nlive_ref,
+                      x0a_ref, y0a_ref, x0b_ref, y0b_ref,
+                      meta_ref, g_ref, fmap1_ref, fmap2_ref, out_ref,
+                      taps_ref):
+    """Fused two-level kernel, v12: no convert, no roll.
+
+    The MXU dot consumes the RAW bf16 16-wide aligned windows (both
+    levels stacked into (256, C) per (edge, pixel)), computing taps at
+    ALL 16 x positions; the dynamic x-residue selection then folds into
+    the batched blend stage as a 10-term select-blend over static lane
+    rolls.  Rationale (scripts/dev/corr_variants.py probe at E=49k):
+    v10's f32 convert for the dynamic sublane roll was ~6.8 ms of its
+    14.1 — v12 trades it for 2x MXU tap work on a nearly idle MXU.
+    Measured 14.1 -> 11.7 ms/call at E=49152 on TPU v5e, and maxrel
+    ~1e-7 vs v4 on hardware (the bf16 window rows enter the
+    f32-accumulating MXU unrounded; only summation order differs).
+
+    Output lanes per pixel: (level*128 + dy*16 + dx'), dy<7 / dx'<7
+    live; dead lanes carry GARBAGE (wrap terms) — the only consumer,
+    CorrDense's raw path, maps them to a zero kernel row
+    (``v12_row_map``), so they never reach the network.  Dead tail
+    tiles (past n_live) still write zeros.
+    """
+    f32 = jnp.float32
+    i32 = jnp.int32
+
+    @pl.when(pl.program_id(0) >= nlive_ref[0])
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(pl.program_id(0) < nlive_ref[0])
+    def _():
+        C = g_ref.shape[-1]
+        for e in range(TILE):
+            for p in range(P2):
+                w1 = fmap1_ref[0, pl.ds(y0a_ref[e, p], D),
+                               pl.ds(pl.multiple_of(x0a_ref[e, p], 8),
+                                     DW), :]
+                w2 = fmap2_ref[0, pl.ds(y0b_ref[e, p], D),
+                               pl.ds(pl.multiple_of(x0b_ref[e, p], 8),
+                                     DW), :]
+                W = jnp.concatenate(
+                    [w1.reshape(D * DW, C), w2.reshape(D * DW, C)],
+                    axis=0)                            # (256, C) bf16
+                g = g_ref[e, p]                        # (C,) bf16
+                taps = jax.lax.dot_general(
+                    g.reshape(1, C), W, (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32)
+                taps_ref[e, p] = taps[0]               # (256,) f32
+
+        T = taps_ref[...]                      # (TILE, P2, 256) f32
+        lane = jax.lax.broadcasted_iota(i32, (TILE, P2, 256), 2)
+        is1 = lane < 128
+        # meta lanes: rra, dxa, dya, rrb, dxb, dyb, 0, 0
+        dyv = jnp.where(is1, meta_ref[:, :, 2:3], meta_ref[:, :, 5:6])
+        rrv = jnp.where(is1, meta_ref[:, :, 0:1], meta_ref[:, :, 3:4])
+        dxv = jnp.where(is1, meta_ref[:, :, 1:2], meta_ref[:, :, 4:5])
+
+        # y bilinear: +1 tap row is +16 lanes (positive modular roll)
+        ty = (1.0 - dyv) * T + dyv * pltpu.roll(T, 240, axis=2)
+        # x select+blend: out(dx') = (1-dx)*T[rr+dx'] + dx*T[rr+dx'+1],
+        # rr in [0, 8] -> 10 select terms over static lane rolls
+        out = jnp.zeros_like(ty)
+        for s in range(10):
+            w_s = (jnp.where(rrv == s, 1.0 - dxv, 0.0)
+                   + jnp.where(rrv == s - 1, dxv, 0.0))
+            out = out + w_s * pltpu.roll(ty, (256 - s) % 256, axis=2)
+        out_ref[...] = out.astype(out_ref.dtype)
+
+
 RAW_DIM = P2 * (D - 1) * (D - 1)   # per-level feature dim (441)
 V10_DIM = P2 * 128                 # v10 feature dim incl. dead lanes
+V12_DIM = P2 * 256                 # v12 feature dim incl. dead lanes
+
+
+def v12_row_map():
+    """Like ``v10_row_map`` for the v12 layout: lanes per pixel are
+    (level*128 + dy*16 + dx'), dy/dx' in [0, 16)/[0, 16) with only
+    dy<7, dx'<7 live; dead lanes (which carry garbage, see
+    _kernel_fused_v12) map to the zero row 2*RAW_DIM."""
+    import numpy as np
+    rows = np.full(V12_DIM, 2 * RAW_DIM, np.int32)
+    i = 0
+    for py in range(3):
+        for px in range(3):
+            for level in range(2):
+                for dy in range(D):
+                    for dx in range(DW):
+                        if dy < D - 1 and dx < D - 1:
+                            rows[i] = (((dx * (D - 1) + dy) * 3 + py) * 3
+                                       + px) * 2 + level
+                        i += 1
+    return rows
 
 
 def raw_to_ref_perm():
@@ -576,6 +669,38 @@ def corr_pallas_fused(g_pre, fmap1_padded, fmap2_padded, coords,
 
     smem = dict(memory_space=pltpu.SMEM)
     sspec = pl.BlockSpec((TILE, P2), lambda i, tf, nl: (i, 0), **smem)
+
+    if version == 12:
+        meta = jnp.stack(
+            [ria.astype(jnp.float32), dxa.astype(jnp.float32),
+             dya.astype(jnp.float32), rib.astype(jnp.float32),
+             dxb.astype(jnp.float32), dyb.astype(jnp.float32),
+             jnp.zeros_like(dxa, jnp.float32),
+             jnp.zeros_like(dxa, jnp.float32)], axis=-1)   # (E, P2, 8)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_tiles,),
+            in_specs=[sspec] * 4 + [
+                pl.BlockSpec((TILE, P2, 8), lambda i, tf, nl: (i, 0, 0)),
+                pl.BlockSpec((TILE, P2, C), lambda i, tf, nl: (i, 0, 0)),
+                pl.BlockSpec((1, Hp1, Wp1, C),
+                             lambda i, tf, nl: (tf[i], 0, 0, 0)),
+                pl.BlockSpec((1, Hp2, Wp2, C),
+                             lambda i, tf, nl: (tf[i], 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((TILE, P2, 256),
+                                   lambda i, tf, nl: (i, 0, 0)),
+            scratch_shapes=[pltpu.VMEM((TILE, P2, 256), jnp.float32)],
+        )
+        return pl.pallas_call(
+            _kernel_fused_v12,
+            out_shape=jax.ShapeDtypeStruct((E, P2, 256), out_dtype),
+            grid_spec=grid_spec,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+        )(tile_frame, n_live, x0a, bya, x0b, byb, meta,
+          g_pre, fmap1_padded, fmap2_padded)
 
     if version == 10:
         # MXU channel-dot kernel; output is the v10 feature layout

@@ -60,7 +60,8 @@ def proj(X, intrinsics, depth=False):
 
 
 def transform(poses, patches, intrinsics, ii, jj, kk,
-              depth=False, valid=False, jacobian=False, tonly=False):
+              depth=False, valid=False, jacobian=False, tonly=False,
+              Gij=None):
     """Reproject patch kk from frame ii into frame jj.
 
     Returns coords (E, P, P, 2); optionally (coords, valid) or
@@ -68,11 +69,18 @@ def transform(poses, patches, intrinsics, ii, jj, kk,
     in the same form as the reference (ref projective_ops.py:53-113):
     Ji/Jj (E, 2, 6) wrt poses i/j (tangent order [tau, phi]), Jz (E, 2, 1)
     wrt patch inverse depth.
+
+    Gij (E, 7) optional precomputed relative poses — the engine passes a
+    per-frame-PAIR table gathered to edges (~300 pairs vs 45k edges at
+    the retain bucket), skipping the per-edge se3_mul/inv chain.
     """
     poses, patches, intrinsics = _f32(poses), _f32(patches), _f32(intrinsics)
 
     X0 = iproj(patches[kk], intrinsics[ii])           # (E, P, P, 4)
-    Gij = lie.se3_mul(poses[jj], lie.se3_inv(poses[ii]))  # (E, 7)
+    if Gij is None:
+        Gij = lie.se3_mul(poses[jj], lie.se3_inv(poses[ii]))  # (E, 7)
+    else:
+        Gij = _f32(Gij)
 
     if tonly:
         Gij = Gij.at[..., 3:].set(

@@ -341,6 +341,126 @@ def v10_to_ref(out10):
     return t[:, :, :, :7, :7].transpose(0, 2, 1, 3, 4)
 
 
+# ------------------------------------------------------------------ v12
+# No convert, no roll: the MXU dot consumes the RAW bf16 16-wide aligned
+# window (both levels stacked: (256, C) per (edge, pixel)), computing
+# taps at ALL 16 x positions; the dynamic x-residue selection folds into
+# the batched blend stage as a 10-term select-blend over static lane
+# rolls.  Per the probes the f32 convert was ~6.8 ms of v10's 14.1 at
+# E=49k — v12 trades it for 2x MXU tap work (the MXU is nearly idle).
+# Output lanes per pixel: (level*128 + dy*16 + dx'), dy<7 / dx'<7 live.
+
+def _kernel_v12(tile_frame_ref, nlive_ref,
+                x0a_ref, y0a_ref, x0b_ref, y0b_ref,
+                meta_ref, g_ref, fmap1_ref, fmap2_ref, out_ref,
+                taps_ref):
+    f32 = jnp.float32
+    i32 = jnp.int32
+
+    @pl.when(pl.program_id(0) >= nlive_ref[0])
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(pl.program_id(0) < nlive_ref[0])
+    def _():
+        C = g_ref.shape[-1]
+        for e in range(TILE):
+            for p in range(P2):
+                w1 = fmap1_ref[0, pl.ds(y0a_ref[e, p], D),
+                               pl.ds(pl.multiple_of(x0a_ref[e, p], 8),
+                                     DW), :]
+                w2 = fmap2_ref[0, pl.ds(y0b_ref[e, p], D),
+                               pl.ds(pl.multiple_of(x0b_ref[e, p], 8),
+                                     DW), :]
+                W = jnp.concatenate(
+                    [w1.reshape(D * DW, C), w2.reshape(D * DW, C)],
+                    axis=0)                            # (256, C) bf16
+                g = g_ref[e, p]                        # (C,) bf16
+                taps = jax.lax.dot_general(
+                    g.reshape(1, C), W, (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32)
+                taps_ref[e, p] = taps[0]               # (256,) f32
+
+        T = taps_ref[...]                      # (TILE, P2, 256) f32
+        lane = jax.lax.broadcasted_iota(i32, (TILE, P2, 256), 2)
+        is1 = lane < 128
+        # meta lanes: rra, dxa, dya, rrb, dxb, dyb, 0, 0
+        dyv = jnp.where(is1, meta_ref[:, :, 2:3], meta_ref[:, :, 5:6])
+        rrv = jnp.where(is1, meta_ref[:, :, 0:1], meta_ref[:, :, 3:4])
+        dxv = jnp.where(is1, meta_ref[:, :, 1:2], meta_ref[:, :, 4:5])
+
+        # y bilinear: +1 tap row is +16 lanes (positive modular roll)
+        ty = (1.0 - dyv) * T + dyv * pltpu.roll(T, 240, axis=2)
+        # x select+blend: out(dx') = (1-dx)*T[rr+dx'] + dx*T[rr+dx'+1],
+        # rr in [0, 8] -> 10 select terms over static lane rolls
+        out = jnp.zeros_like(ty)
+        for s in range(10):
+            w_s = (jnp.where(rrv == s, 1.0 - dxv, 0.0)
+                   + jnp.where(rrv == s - 1, dxv, 0.0))
+            out = out + w_s * pltpu.roll(ty, (256 - s) % 256, axis=2)
+        out_ref[...] = out.astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("interpret", "out_dtype"))
+def v12_variant(g_pre, fmap1_padded, fmap2_padded, coords, tile_frame,
+                n_live=None, interpret=False, out_dtype=None):
+    """v12: returns (E, P2, 256) features, lanes (level*128 + dy*16+dx')
+    with dy>=7 / dx'>=7 lanes dead (garbage — consumers must zero-map
+    them, see corr_pallas.v10_row_map for the mechanism)."""
+    E, _, C = g_pre.shape
+    F, Hp1, Wp1, _ = fmap1_padded.shape
+    _, Hp2, Wp2, _ = fmap2_padded.shape
+    n_tiles = E // TILE
+    if n_live is None:
+        n_live = jnp.full((1,), n_tiles, jnp.int32)
+    else:
+        n_live = jnp.asarray(n_live, jnp.int32).reshape(1)
+    out_dtype = out_dtype or jnp.float32
+
+    x0a, bya, ria, dxa, dya = cp._window_meta(coords, Hp1, Wp1)
+    x0b, byb, rib, dxb, dyb = cp._window_meta(coords / 4.0, Hp2, Wp2)
+    meta = jnp.stack(
+        [ria.astype(jnp.float32), dxa.astype(jnp.float32),
+         dya.astype(jnp.float32), rib.astype(jnp.float32),
+         dxb.astype(jnp.float32), dyb.astype(jnp.float32),
+         jnp.zeros_like(dxa, jnp.float32),
+         jnp.zeros_like(dxa, jnp.float32)], axis=-1)   # (E, P2, 8)
+
+    smem = dict(memory_space=pltpu.SMEM)
+    sspec = pl.BlockSpec((TILE, P2), lambda i, tf, nl: (i, 0), **smem)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[sspec] * 4 + [
+            pl.BlockSpec((TILE, P2, 8), lambda i, tf, nl: (i, 0, 0)),
+            pl.BlockSpec((TILE, P2, C), lambda i, tf, nl: (i, 0, 0)),
+            pl.BlockSpec((1, Hp1, Wp1, C),
+                         lambda i, tf, nl: (tf[i], 0, 0, 0)),
+            pl.BlockSpec((1, Hp2, Wp2, C),
+                         lambda i, tf, nl: (tf[i], 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((TILE, P2, 256),
+                               lambda i, tf, nl: (i, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((TILE, P2, 256), jnp.float32)],
+    )
+    return pl.pallas_call(
+        _kernel_v12,
+        out_shape=jax.ShapeDtypeStruct((E, P2, 256), out_dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(tile_frame, n_live, x0a, bya, x0b, byb, meta,
+      g_pre, fmap1_padded, fmap2_padded)
+
+
+def v12_to_ref(out12):
+    """(E, P2, 256) v12 features -> (E, 2, P2, 7, 7) fused layout."""
+    E = out12.shape[0]
+    t = np.asarray(out12, np.float32).reshape(E, P2, 2, 8, 16)
+    return t[:, :, :, :7, :7].transpose(0, 2, 1, 3, 4)
+
+
 # ---------------------------------------------------------------- probes
 # Phase-attribution kernels: same tile/loop structure and loads as the
 # real kernel, each keeping a prefix of the per-(e, p) pipeline.  The
@@ -551,6 +671,14 @@ def check():
         rel = d.max() / (np.abs(np.asarray(ref, np.float32)).max() + 1e-9)
         exact = "EXACT" if d.max() == 0 else f"maxrel {rel:.2e}"
         print(f"{v}: {exact}")
+    try:
+        out = v12_to_ref(v12_variant(g, f1, f2, coords, tf,
+                                     interpret=True))
+        d = np.abs(out - np.asarray(ref, np.float32))
+        rel = d.max() / (np.abs(np.asarray(ref, np.float32)).max() + 1e-9)
+        print(f"v12: {'EXACT' if d.max() == 0 else f'maxrel {rel:.2e}'}")
+    except Exception as ex:
+        print(f"v12: FAILED {type(ex).__name__}: {str(ex)[:200]}")
     for v in V10_KERNELS:
         try:
             out = v10_to_ref(v10_variant(g, f1, f2, coords, tf,
@@ -590,6 +718,20 @@ def bench(E, variants=None, fast=False):
                 fn = partial(v10_variant, g, f1, f2, coords,
                              variant=v, out_dtype=jnp.bfloat16)
                 timed(f"fused {v} E={E}", fn, tf, reps=8)
+                continue
+            if v == "v12":
+                if ref is not None:
+                    out = v12_to_ref(v12_variant(g, f1, f2, coords, tf))
+                    dmax = np.abs(out - ref).max()
+                    rel = dmax / (np.abs(ref).max() + 1e-9)
+                    tag = "EXACT" if dmax == 0 else f"maxrel {rel:.2e}"
+                    print(f"fused v12: {tag}", flush=True)
+                    if rel > 2e-2:
+                        print("fused v12: REJECTED (wrong)", flush=True)
+                        continue
+                fn = partial(v12_variant, g, f1, f2, coords,
+                             out_dtype=jnp.bfloat16)
+                timed(f"fused v12 E={E}", fn, tf, reps=8)
                 continue
             if v == "v9":
                 # v9 lives in the shipped module (corr_pallas_fused)

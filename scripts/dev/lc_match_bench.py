@@ -144,18 +144,47 @@ def orb_matcher(qi, ti, kps, descs):
     return _match(descs[qi], descs[ti])
 
 
-def make_oracle_matcher(pose_list, frame_shape):
+def oracle_map(pts, pose_q, pose_t, two_plane=False):
+    """Map image points of camera q onto camera t via the true scene
+    geometry.  Single plane: one homography.  Two-plane scene: each
+    point inverse-maps through both planes' homographies; the one whose
+    texture coords land on that plane's texture half is the true
+    surface."""
+    def H_of(pose, z):
+        from numpy.linalg import inv  # noqa: F401 (clarity)
+        return cam_homography_z(pose[0], pose[1], z)
+
+    if not two_plane:
+        Hqt = (H_of(pose_t, PLANE_Z)
+               @ np.linalg.inv(H_of(pose_q, PLANE_Z)))
+        return cv2.perspectiveTransform(
+            pts.reshape(-1, 1, 2).astype(np.float64), Hqt).reshape(-1, 2)
+
+    out = np.full((len(pts), 2), np.inf)
+    for z, half in ((PLANE_Z, 0), (PLANE_Z2, 1)):
+        Hq = H_of(pose_q, z)
+        Ht = H_of(pose_t, z)
+        uv = cv2.perspectiveTransform(
+            pts.reshape(-1, 1, 2).astype(np.float64),
+            np.linalg.inv(Hq)).reshape(-1, 2)
+        on = ((uv[:, 0] >= TEX // 2) if half else
+              (uv[:, 0] < TEX // 2))
+        on &= (uv[:, 0] >= 0) & (uv[:, 0] < TEX) \
+            & (uv[:, 1] >= 0) & (uv[:, 1] < TEX)
+        mapped = cv2.perspectiveTransform(
+            pts.reshape(-1, 1, 2).astype(np.float64),
+            Ht @ np.linalg.inv(Hq)).reshape(-1, 2)
+        out[on] = mapped[on]
+    return out
+
+
+def make_oracle_matcher(pose_list, frame_shape, two_plane=False):
     """Ground-truth matcher: keypoints correspond iff they observe the
-    same plane point (via the known homographies) within 1.5 px."""
+    same scene point (via the known geometry) within 1.5 px."""
     def matcher(qi, ti, kps, descs):
-        Hq = cam_homography(*pose_list[qi])
-        Ht = cam_homography(*pose_list[ti])
-        Hqt = Ht @ np.linalg.inv(Hq)
         if len(kps[qi]) == 0 or len(kps[ti]) == 0:
             return np.zeros((0, 2), np.int32)
-        q = cv2.perspectiveTransform(
-            kps[qi].reshape(-1, 1, 2).astype(np.float64), Hqt
-        ).reshape(-1, 2)
+        q = oracle_map(kps[qi], pose_list[qi], pose_list[ti], two_plane)
         d = np.linalg.norm(q[:, None] - kps[ti][None], axis=2)
         nn = d.argmin(axis=1)
         ok = d[np.arange(len(q)), nn] < 1.5
@@ -164,16 +193,73 @@ def make_oracle_matcher(pose_list, frame_shape):
     return matcher
 
 
+PLANE_Z2 = 2.8                    # near plane (two-plane scene)
+
+
+def cam_homography_z(Rcw, tcw, z):
+    """cam_homography for a plane at depth ``z``."""
+    A = np.stack([Rcw[:, 0] / TEX_SCALE,
+                  Rcw[:, 1] / TEX_SCALE,
+                  Rcw[:, 2] * z + tcw], axis=1)
+    S = np.array([[1, 0, -TEX / 2], [0, 1, -TEX / 2], [0, 0, 1.0]])
+    return K @ A @ S
+
+
+def render_two_plane(Rcw, tcw, tex):
+    """Off-plane scene: texture left half on the far plane (PLANE_Z),
+    right half on a near plane (PLANE_Z2) — depth discontinuity plus
+    parallax that no single homography explains."""
+    Hf = cam_homography_z(Rcw, tcw, PLANE_Z)
+    Hn = cam_homography_z(Rcw, tcw, PLANE_Z2)
+    tex_f = tex.copy()
+    tex_f[:, TEX // 2:] = 0
+    tex_n = tex.copy()
+    tex_n[:, :TEX // 2] = 0
+    mask_n = np.zeros(tex.shape[:2], np.uint8)
+    mask_n[:, TEX // 2:] = 255
+    img_f = cv2.warpPerspective(tex_f, Hf, (W, H),
+                                flags=cv2.INTER_LINEAR)
+    img_n = cv2.warpPerspective(tex_n, Hn, (W, H),
+                                flags=cv2.INTER_LINEAR)
+    m = cv2.warpPerspective(mask_n, Hn, (W, H),
+                            flags=cv2.INTER_NEAREST)
+    out = img_f.copy()
+    out[m > 0] = img_n[m > 0]
+    return out
+
+
+def apply_illum(img, gain, bias, gamma):
+    """Per-visit photometric change: out = clip(gain*(img/255)^gamma*255
+    + bias)."""
+    f = (img.astype(np.float32) / 255.0) ** gamma
+    return np.clip(gain * f * 255.0 + bias, 0, 255).astype(np.uint8)
+
+
 def run(seed=7, drift_rot_deg=6.0, drift_t=(0.35, -0.2, 0.15),
-        drift_scale=1.12, verbose=True):
+        drift_scale=1.12, verbose=True, illum=None, roll_deg=0.0,
+        two_plane=False):
+    """One revisit scenario.
+
+    Stress knobs (VERDICT r4 next#6 — SIFT beyond its comfort zone):
+    illum      (gain, bias, gamma) applied to visit-B frames only
+    roll_deg   in-plane camera rotation of visit B
+    two_plane  off-plane structure: near+far planes with parallax
+    """
     tex = make_texture(seed)
+    rend = render_two_plane if two_plane else render
 
     # visit A observes the plane head-on; visit B revisits from nearby
     poses_a = visit_poses([0.0, 0.0, 0.0], yaw=0.0)
     poses_b_true = visit_poses([0.5, 0.1, -0.2], yaw=0.06)
+    if roll_deg:
+        Rroll = rodr([0, 0, 1], np.deg2rad(roll_deg))
+        poses_b_true = [(Rroll @ Rcw, Rroll @ tcw)
+                        for Rcw, tcw in poses_b_true]
 
-    frames_a = [render(R, t, tex) for R, t in poses_a]
-    frames_b = [render(R, t, tex) for R, t in poses_b_true]
+    frames_a = [rend(R, t, tex) for R, t in poses_a]
+    frames_b = [rend(R, t, tex) for R, t in poses_b_true]
+    if illum is not None:
+        frames_b = [apply_illum(f, *illum) for f in frames_b]
 
     # drift Sim3: the SLAM believes visit-B world coords are
     # X_drift = s * R_d @ X_true + t_d. Triangulating visit B against
@@ -198,8 +284,10 @@ def run(seed=7, drift_rot_deg=6.0, drift_t=(0.35, -0.2, 0.15),
             m_a = orb_matcher
             m_b = orb_matcher
         else:
-            m_a = make_oracle_matcher(poses_a, frames_a[0].shape)
-            m_b = make_oracle_matcher(poses_b_true, frames_b[0].shape)
+            m_a = make_oracle_matcher(poses_a, frames_a[0].shape,
+                                      two_plane)
+            m_b = make_oracle_matcher(poses_b_true, frames_b[0].shape,
+                                      two_plane)
 
         tri_a = triangulate_triplet(frames_a, poses_a, m_a, detect=detect)
         # triangulate B against drifted poses but with the TRUE-geometry
@@ -219,14 +307,9 @@ def run(seed=7, drift_rot_deg=6.0, drift_t=(0.35, -0.2, 0.15),
         if name in ("orb", "sift"):
             m = _match(d_a, d_b)
         else:
-            # oracle cross-visit: same plane point within 1.5 px via
-            # homographies of the CENTER frames of each visit
-            Ha = cam_homography(*poses_a[1])
-            Hb = cam_homography(*poses_b_true[1])
-            Hab = Hb @ np.linalg.inv(Ha)
-            q = cv2.perspectiveTransform(
-                kp_a.reshape(-1, 1, 2).astype(np.float64), Hab
-            ).reshape(-1, 2)
+            # oracle cross-visit: same scene point within 1.5 px via the
+            # true geometry of the CENTER frames of each visit
+            q = oracle_map(kp_a, poses_a[1], poses_b_true[1], two_plane)
             d = np.linalg.norm(q[:, None] - kp_b[None], axis=2)
             nn = d.argmin(axis=1)
             ok = d[np.arange(len(q)), nn] < 1.5

@@ -168,6 +168,53 @@ def test_v10_matches_v4_and_row_map():
     np.testing.assert_allclose(got, feat_ref @ Wm, atol=1e-3)
 
 
+def test_v12_matches_v4_and_row_map():
+    """The v12 MXU no-roll kernel against v4 (same gate as v10), plus
+    dead-tile zeros and the v12_row_map zero-row matmul equivalence
+    (v12's dead lanes carry garbage by design — the map must kill
+    them)."""
+    rng = np.random.default_rng(4)
+    F, H, W, C = 5, 32, 48, 128
+    fmap1 = jnp.asarray(rng.normal(size=(F, H, W, C)), jnp.float32)
+    fmap2 = jnp.asarray(rng.normal(size=(F, H // 2, W // 2, C)),
+                        jnp.float32)
+    f1p, f2p = cp.pad_fmap(fmap1), cp.pad_fmap(fmap2)
+    E = 64
+    g = jnp.asarray(rng.normal(size=(E, 9, C)), jnp.float32)
+    coords = jnp.asarray(rng.uniform(-4, 40, (E, 2, 3, 3)), jnp.float32)
+    tf = jnp.asarray(np.sort(rng.integers(0, F, E // cp.TILE)), jnp.int32)
+    nl = jnp.full((1,), 3, jnp.int32)   # last tile dead
+
+    out12 = np.asarray(cp.corr_pallas_fused(
+        g, f1p, f2p, coords, tf, n_live=nl, interpret=True, version=12))
+    assert out12.shape == (E, cp.P2, 256)
+    ref4 = np.asarray(cp.corr_pallas_fused(
+        g, f1p, f2p, coords, tf, n_live=nl, interpret=True, version=4))
+
+    # lanes (level*128 + dy*16 + dx') -> (E, level, p, dy, dx), live 7x7
+    t = out12.reshape(E, cp.P2, 2, 8, 16)
+    live = t[:, :, :, :7, :7].transpose(0, 2, 1, 3, 4)
+    denom = np.abs(ref4).max() + 1e-9
+    rel = np.abs(live - ref4).max() / denom
+    assert rel < 1e-2, rel
+    assert not out12[3 * cp.TILE:].any()
+
+    # zero-row matmul: the map must annihilate the garbage dead lanes
+    feat_ref = np.zeros((E, 2 * cp.RAW_DIM), np.float32)
+    for level in range(2):
+        for p in range(cp.P2):
+            py, px = p // 3, p % 3
+            for dy in range(7):
+                for dx in range(7):
+                    ridx = (((dx * 7 + dy) * 3 + py) * 3 + px) * 2 + level
+                    feat_ref[:, ridx] = t[:, p, level, dy, dx]
+    Wm = rng.normal(size=(2 * cp.RAW_DIM, 8)).astype(np.float32)
+    Wz = np.concatenate([Wm, np.zeros((1, 8), np.float32)])
+    rows = np.asarray(cp.v12_row_map())
+    got = out12.reshape(E, -1) @ Wz[rows]
+    np.testing.assert_allclose(got, feat_ref @ Wm, atol=1e-3)
+
+
 def test_corrdense_v10_raw_matches_interleaved():
     """CorrDense fed the v10 tuple form == CorrDense on the interleaved
     reference features, with the SAME (882, DIM) checkpoint params."""

@@ -63,3 +63,42 @@ def test_sift_default_beats_oracle_ceiling():
     assert sift["rot_err_deg"] < 0.1
     assert sift["t_err"] < 0.01
     assert sift["scale_err_pct"] < 0.1
+
+
+def test_sift_survives_stress_scenarios():
+    """SIFT beyond its comfort zone (VERDICT r4 next#6): per-visit
+    illumination change (gain 0.6, bias -25, gamma 1.4), 15-degree
+    in-plane rotation, and off-plane structure (near+far planes with
+    parallax) — COMBINED.  Measured round 5: 225 inliers @ 99%,
+    0.021 deg / 2.3e-3 / 0.01% — no collapse, so no learned detector
+    is needed for the loop-closure substitution.  The asserted bounds
+    leave ~5x margin on the measured errors."""
+    import lc_match_bench as B
+
+    res = B.run(seed=7, verbose=False, illum=(0.6, -25.0, 1.4),
+                roll_deg=15.0, two_plane=True)
+    sift = res["sift"]
+    assert sift is not None, "SIFT failed under combined stress"
+    assert sift["inliers"] >= 100
+    assert sift["inlier_rate"] > 0.8
+    assert sift["rot_err_deg"] < 0.2
+    assert sift["t_err"] < 0.02
+    assert sift["scale_err_pct"] < 0.5
+
+
+def test_sift_survives_individual_stresses():
+    """Each stress axis alone keeps SIFT's Sim3 tight (illum: 266 @
+    98%; roll15: 150 @ 39%; two-plane: 320 @ 99% in the round-5
+    capture).  Note roll15 drops the inlier RATE (upright SIFT on ORB's
+    keypoint budget) but the surviving support still nails the Sim3."""
+    import lc_match_bench as B
+
+    for kw in (dict(illum=(0.6, -25.0, 1.4)), dict(roll_deg=15.0),
+               dict(two_plane=True)):
+        res = B.run(seed=7, verbose=False, **kw)
+        sift = res["sift"]
+        assert sift is not None, f"SIFT failed under {kw}"
+        assert sift["inliers"] >= 100, kw
+        assert sift["rot_err_deg"] < 0.2, kw
+        assert sift["t_err"] < 0.02, kw
+        assert sift["scale_err_pct"] < 0.5, kw
