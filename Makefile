@@ -8,7 +8,7 @@ cpp/libretrieval.so: cpp/retrieval.cpp
 	$(CXX) $(CXXFLAGS) $< -o $@
 
 test:
-	python -m pytest tests/ -q
+	python -m pytest tests/ -q --junitxml=TESTS_r05.xml
 
 bench:
 	python bench.py

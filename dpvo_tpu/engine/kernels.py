@@ -192,7 +192,8 @@ def _corr_features(gmap_buf, fmap1_buf, fmap2_buf, coords2, kk_mod,
 
 
 def _corr_features_pallas(gmap_buf, fmap1_buf, fmap2_buf, coords2, kk_mod,
-                          corr_perm, corr_inv, tile_frame, n_live=None):
+                          corr_perm, corr_inv, tile_frame, n_live=None,
+                          enc_kernel=None):
     """Pallas frame-resident correlation over jj-grouped edges.
 
     corr_perm (Es,) sorts/pads edges into frame-contiguous TILE groups;
@@ -211,8 +212,19 @@ def _corr_features_pallas(gmap_buf, fmap1_buf, fmap2_buf, coords2, kk_mod,
     Es = corr_perm.shape[0]
     coords_s = coords2[corr_perm]                        # (Es, 2, P, P)
     kk_s = kk_mod[corr_perm]
-    g_pre = gmap_buf[kk_s].reshape(Es, cp.P2, C)
     dt = gmap_buf.dtype
+    if cp.FUSED_VERSION == 13 and enc_kernel is not None:
+        # fused gather + correlation + corr-encoder matmul: the whole
+        # gmap ring rides VMEM-resident, no (Es, 9, C) g_pre gather and
+        # no (Es, 2304) feature tensor in HBM (see _kernel_fused_v13)
+        K = gmap_buf.shape[0]
+        g_all = gmap_buf.reshape(K, cp.P2, C)
+        w_enc = cp.map_enc_kernel(enc_kernel).astype(dt)
+        out = cp.corr_pallas_enc(g_all, kk_s, w_enc, fmap1_buf,
+                                 fmap2_buf, coords_s, tile_frame,
+                                 n_live=n_live, out_dtype=dt)
+        return ("enc", out, corr_inv)
+    g_pre = gmap_buf[kk_s].reshape(Es, cp.P2, C)
     out = cp.corr_pallas_fused(g_pre, fmap1_buf, fmap2_buf, coords_s,
                                tile_frame, n_live=n_live, out_dtype=dt)
     return ("raw", out.reshape(Es, -1), corr_inv)
@@ -258,9 +270,13 @@ def _update_core(params, poses, patches_buf, intrinsics_buf,
     kk_mod = kk_s % (M * pmem)
     jj_mod = jj_s % mem
     if use_pallas:
+        enc_kernel = None
+        if cp.FUSED_VERSION == 13:
+            enc_kernel = params["params"]["corr1"]["kernel"]
         corr_feat = _corr_features_pallas(
             gmap_buf, fmap1_buf, fmap2_buf, coords2, kk_mod,
-            corr_perm, corr_inv, tile_frame, n_live=n_live)
+            corr_perm, corr_inv, tile_frame, n_live=n_live,
+            enc_kernel=enc_kernel)
     else:
         corr_feat = _corr_features(gmap_buf, fmap1_buf, fmap2_buf,
                                    coords2, kk_mod, jj_mod)

@@ -62,6 +62,12 @@ class CorrDense(nn.Module):
             from ..ops.corr_pallas import (raw_to_ref_perm, v10_row_map,
                                            v12_row_map, RAW_DIM, V10_DIM,
                                            V12_DIM)
+            if corr[0] == "enc":
+                # v13 fused kernel already applied this layer's matmul
+                # in-kernel (corr_pallas._kernel_fused_v13 consumes the
+                # row-mapped kernel); only bias + inverse-permute remain
+                _, feat, inv = corr
+                return (feat.astype(self.dtype) + b)[inv]
             _, feat, inv = corr
             if in_dim in (V10_DIM, V12_DIM):
                 # v10/v12 kernel layouts: (p, level, dy, dx) lanes with

@@ -469,6 +469,83 @@ def _kernel_fused_v12(tile_frame_ref, nlive_ref,
         out_ref[...] = out.astype(out_ref.dtype)
 
 
+def _kernel_fused_v13(tile_frame_ref, nlive_ref,
+                      x0a_ref, y0a_ref, x0b_ref, y0b_ref, kkm_ref,
+                      meta_ref, g_all_ref, w_enc_ref,
+                      fmap1_ref, fmap2_ref, out_ref, taps_ref):
+    """v12 + two fusions that erase the corr block's XLA-side HBM
+    traffic (VERDICT r4 next#1b):
+
+    - the patch-feature rows gather in-kernel from the WHOLE gmap ring
+      buffer held VMEM-resident (constant block, ~8 MB at the bench
+      point; per-edge row ids ``kkm`` ride in SMEM) — the XLA path
+      materialized g_pre = gmap[kk] as an (E, 9, C) gather,
+      ~104 MB written + re-read per update at the retain bucket;
+    - the corr encoder's first matmul folds in: the blended v12
+      feature block (TILE, P2, 256) contracts with the row-mapped
+      corr1 kernel (P2, 256, DIM) as 9 accumulated MXU dots, so the
+      kernel emits (TILE, DIM) — the (E, 2304) v12 feature tensor
+      (207 MB/update bf16) never exists.  Zero rows of the mapped
+      kernel annihilate the v12 dead lanes in-kernel, keeping the
+      matmul exact vs CorrDense's raw-v12 path; the f32 blend output
+      casts to bf16 before the dot exactly where CorrDense casts.
+
+    out (TILE, DIMo): per-edge corr-encoder pre-bias activations.
+    Consumer adds bias + inverse-permutes (models.update.CorrDense
+    "enc" form).  Matches /root/reference CUDA corr + net.py:49-51
+    corr encoder up to summation order.
+    """
+    f32 = jnp.float32
+    i32 = jnp.int32
+
+    @pl.when(pl.program_id(0) >= nlive_ref[0])
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(pl.program_id(0) < nlive_ref[0])
+    def _():
+        C = g_all_ref.shape[-1]
+        for e in range(TILE):
+            for p in range(P2):
+                w1 = fmap1_ref[0, pl.ds(y0a_ref[e, p], D),
+                               pl.ds(pl.multiple_of(x0a_ref[e, p], 8),
+                                     DW), :]
+                w2 = fmap2_ref[0, pl.ds(y0b_ref[e, p], D),
+                               pl.ds(pl.multiple_of(x0b_ref[e, p], 8),
+                                     DW), :]
+                W = jnp.concatenate(
+                    [w1.reshape(D * DW, C), w2.reshape(D * DW, C)],
+                    axis=0)                            # (256, C) bf16
+                g = g_all_ref[kkm_ref[e, 0], p]        # (C,) bf16
+                taps = jax.lax.dot_general(
+                    g.reshape(1, C), W, (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32)
+                taps_ref[e, p] = taps[0]               # (256,) f32
+
+        T = taps_ref[...]                      # (TILE, P2, 256) f32
+        lane = jax.lax.broadcasted_iota(i32, (TILE, P2, 256), 2)
+        is1 = lane < 128
+        # meta lanes: rra, dxa, dya, rrb, dxb, dyb, 0, 0
+        dyv = jnp.where(is1, meta_ref[:, :, 2:3], meta_ref[:, :, 5:6])
+        rrv = jnp.where(is1, meta_ref[:, :, 0:1], meta_ref[:, :, 3:4])
+        dxv = jnp.where(is1, meta_ref[:, :, 1:2], meta_ref[:, :, 4:5])
+
+        ty = (1.0 - dyv) * T + dyv * pltpu.roll(T, 240, axis=2)
+        out = jnp.zeros_like(ty)
+        for s in range(10):
+            w_s = (jnp.where(rrv == s, 1.0 - dxv, 0.0)
+                   + jnp.where(rrv == s - 1, dxv, 0.0))
+            out = out + w_s * pltpu.roll(ty, (256 - s) % 256, axis=2)
+
+        feat = out.astype(w_enc_ref.dtype)     # (TILE, P2, 256)
+        acc = jnp.zeros((TILE, out_ref.shape[-1]), f32)
+        for p in range(P2):
+            acc = acc + jax.lax.dot_general(
+                feat[:, p, :], w_enc_ref[p],
+                (((1,), (0,)), ((), ())), preferred_element_type=f32)
+        out_ref[...] = acc.astype(out_ref.dtype)
+
+
 RAW_DIM = P2 * (D - 1) * (D - 1)   # per-level feature dim (441)
 V10_DIM = P2 * 128                 # v10 feature dim incl. dead lanes
 V12_DIM = P2 * 256                 # v12 feature dim incl. dead lanes
@@ -796,6 +873,84 @@ def corr_pallas_fused(g_pre, fmap1_padded, fmap2_padded, coords,
       dxa.astype(jnp.float32), dya.astype(jnp.float32),
       x0b, byb, rib, dxb.astype(jnp.float32), dyb.astype(jnp.float32),
       g_pre, fmap1_padded, fmap2_padded)
+
+
+def map_enc_kernel(kernel):
+    """Row-map the checkpoint-shaped corr1 kernel (2*RAW_DIM, DIMo)
+    onto the v13 in-kernel layout (P2, 256, DIMo): dead v12 lanes map
+    to an appended zero row (annihilating the kernel's wrap garbage),
+    live lanes to their reference row (matmul-exact reindexing)."""
+    kz = jnp.concatenate(
+        [kernel, jnp.zeros((1, kernel.shape[1]), kernel.dtype)])
+    return kz[jnp.asarray(v12_row_map())].reshape(
+        P2, 256, kernel.shape[1])
+
+
+@partial(jax.jit, static_argnames=("interpret", "out_dtype"))
+def corr_pallas_enc(g_all, kk_rows, w_enc, fmap1_padded, fmap2_padded,
+                    coords, tile_frame, n_live=None, interpret=False,
+                    out_dtype=None):
+    """Fused two-level correlation + corr-encoder first matmul (v13).
+
+    g_all       (K, P2, C) the WHOLE gmap ring (bf16) — VMEM-resident
+                constant block; no per-edge gather materializes in HBM
+    kk_rows     (E,) int32 row ids into g_all per (sorted) edge
+    w_enc       (P2, 256, DIMo) row-mapped corr1 kernel
+                (see map_enc_kernel), compute dtype
+    coords      (E, 2, 3, 3) level-1 pixel coords
+    -> (E, DIMo) pre-bias corr-encoder activations in out_dtype.
+    Consumer adds bias + inverse-permutes (CorrDense "enc" form).
+    """
+    E = coords.shape[0]
+    K, _, C = g_all.shape
+    F, Hp1, Wp1, _ = fmap1_padded.shape
+    _, Hp2, Wp2, _ = fmap2_padded.shape
+    assert E % TILE == 0, E
+    DIMo = w_enc.shape[-1]
+    n_tiles = E // TILE
+    if n_live is None:
+        n_live = jnp.full((1,), n_tiles, jnp.int32)
+    else:
+        n_live = jnp.asarray(n_live, jnp.int32).reshape(1)
+    out_dtype = out_dtype or jnp.float32
+
+    x0a, bya, ria, dxa, dya = _window_meta(coords, Hp1, Wp1)
+    x0b, byb, rib, dxb, dyb = _window_meta(coords / 4.0, Hp2, Wp2)
+    meta = jnp.stack(
+        [ria.astype(jnp.float32), dxa.astype(jnp.float32),
+         dya.astype(jnp.float32), rib.astype(jnp.float32),
+         dxb.astype(jnp.float32), dyb.astype(jnp.float32),
+         jnp.zeros_like(dxa, jnp.float32),
+         jnp.zeros_like(dxa, jnp.float32)], axis=-1)       # (E, P2, 8)
+    kk2 = jnp.asarray(kk_rows, jnp.int32).reshape(E, 1)
+
+    smem = dict(memory_space=pltpu.SMEM)
+    sspec = pl.BlockSpec((TILE, P2), lambda i, tf, nl: (i, 0), **smem)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[sspec] * 4 + [
+            pl.BlockSpec((TILE, 1), lambda i, tf, nl: (i, 0), **smem),
+            pl.BlockSpec((TILE, P2, 8), lambda i, tf, nl: (i, 0, 0)),
+            pl.BlockSpec((K, P2, C), lambda i, tf, nl: (0, 0, 0)),
+            pl.BlockSpec((P2, 256, DIMo), lambda i, tf, nl: (0, 0, 0)),
+            pl.BlockSpec((1, Hp1, Wp1, C),
+                         lambda i, tf, nl: (tf[i], 0, 0, 0)),
+            pl.BlockSpec((1, Hp2, Wp2, C),
+                         lambda i, tf, nl: (tf[i], 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((TILE, DIMo), lambda i, tf, nl: (i, 0)),
+        scratch_shapes=[pltpu.VMEM((TILE, P2, 256), jnp.float32)],
+    )
+    return pl.pallas_call(
+        _kernel_fused_v13,
+        out_shape=jax.ShapeDtypeStruct((E, DIMo), out_dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(tile_frame, n_live, x0a, bya, x0b, byb, kk2, meta,
+      g_all, w_enc, fmap1_padded, fmap2_padded)
 
 
 def corr_grouping_device(jj, mem, valid=None):

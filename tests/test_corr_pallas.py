@@ -240,3 +240,46 @@ def test_corrdense_v10_raw_matches_interleaved():
     got = m.apply(params, ("raw", jnp.asarray(feat10), inv))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-4)
+
+
+def test_v13_enc_matches_v12_pipeline():
+    """corr_pallas_enc (v13: in-kernel gmap gather + corr-encoder
+    matmul) against the v12 pipeline (XLA g_pre gather -> v12 kernel ->
+    row-mapped matmul) in interpret mode, plus CorrDense's "enc" form
+    against its raw-v12 form with the SAME checkpoint params."""
+    from dpvo_tpu.models.update import CorrDense
+    rng = np.random.default_rng(7)
+    F, H, W, C, K, E, DIMo = 3, 32, 48, 128, 40, 32, 16
+    fmap1 = jnp.asarray(rng.normal(size=(F, H, W, C)), jnp.float32)
+    fmap2 = jnp.asarray(rng.normal(size=(F, H // 4, W // 4, C)),
+                        jnp.float32)
+    f1p, f2p = cp.pad_fmap(fmap1), cp.pad_fmap(fmap2)
+    g_all = jnp.asarray(rng.normal(size=(K, cp.P2, C)), jnp.float32)
+    kk = jnp.asarray(rng.integers(0, K, (E,)), jnp.int32)
+    coords = jnp.asarray(rng.uniform(-4, 40, (E, 2, 3, 3)), jnp.float32)
+    tf = jnp.asarray(np.sort(rng.integers(0, F, E // cp.TILE)),
+                     jnp.int32)
+    nl = jnp.full((1,), 1, jnp.int32)   # second tile dead
+
+    m = CorrDense(DIMo)
+    params = m.init(KEY, jnp.zeros((2, 2 * cp.RAW_DIM)))
+    kernel = params["params"]["kernel"]
+
+    feat12 = cp.corr_pallas_fused(g_all[kk], f1p, f2p, coords, tf,
+                                  n_live=nl, interpret=True, version=12)
+    want = m.apply(params, ("raw", feat12.reshape(E, -1),
+                            jnp.arange(E, dtype=jnp.int32)))
+
+    w_enc = cp.map_enc_kernel(kernel)
+    feat13 = cp.corr_pallas_enc(g_all, kk, w_enc, f1p, f2p, coords, tf,
+                                n_live=nl, interpret=True)
+    assert feat13.shape == (E, DIMo)
+    got = m.apply(params, ("enc", feat13,
+                           jnp.arange(E, dtype=jnp.int32)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+    # dead tile -> zero pre-bias activations
+    bias = np.asarray(params["params"]["bias"])
+    np.testing.assert_allclose(np.asarray(got[cp.TILE:]),
+                               np.tile(bias, (E - cp.TILE, 1)),
+                               atol=1e-6)
