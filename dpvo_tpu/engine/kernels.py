@@ -193,7 +193,7 @@ def _corr_features(gmap_buf, fmap1_buf, fmap2_buf, coords2, kk_mod,
 
 def _corr_features_pallas(gmap_buf, fmap1_buf, fmap2_buf, coords2, kk_mod,
                           corr_perm, corr_inv, tile_frame, n_live=None,
-                          enc_kernel=None):
+                          enc_kernel=None, pre_sorted=False):
     """Pallas frame-resident correlation over jj-grouped edges.
 
     corr_perm (Es,) sorts/pads edges into frame-contiguous TILE groups;
@@ -210,8 +210,13 @@ def _corr_features_pallas(gmap_buf, fmap1_buf, fmap2_buf, coords2, kk_mod,
     the interleave)."""
     C = gmap_buf.shape[-1]
     Es = corr_perm.shape[0]
-    coords_s = coords2[corr_perm]                        # (Es, 2, P, P)
-    kk_s = kk_mod[corr_perm]
+    if pre_sorted:
+        # caller computed coords directly in corr-sorted order
+        coords_s = coords2                               # (Es, 2, P, P)
+        kk_s = kk_mod[corr_perm]
+    else:
+        coords_s = coords2[corr_perm]                    # (Es, 2, P, P)
+        kk_s = kk_mod[corr_perm]
     dt = gmap_buf.dtype
     if cp.FUSED_VERSION == 13 and enc_kernel is not None:
         # fused gather + correlation + corr-encoder matmul: the whole
@@ -248,36 +253,55 @@ def _update_core(params, poses, patches_buf, intrinsics_buf,
     ii_s = jnp.where(valid, ii, 0)
     jj_s = jnp.where(valid, jj, 0)
     kk_s = jnp.where(valid, kk, 0)
-    Gij_e = None
+    Gij_e = Gij_tab = gid_o_ij = pair_rep = None
     if compact_meta is not None:
         # relative poses per frame PAIR (~300 at the retain bucket)
         # instead of per edge: the agg_ij metadata already ranks the
-        # pairs densely, so one scatter-min finds a representative edge
-        # per pair and one gather broadcasts the table back
+        # pairs densely; gid_s_ij is SORTED, so each group's first
+        # member is its searchsorted position (512 binary-search
+        # queries beat a 45k-update scatter-min on TPU) and one gather
+        # broadcasts the table back
         perm_ij, gid_s_ij, gid_o_ij = compact_meta[1]
         E_b = ii.shape[0]
-        first = jnp.full((g_cap,), E_b - 1, jnp.int32).at[gid_s_ij].min(
-            jnp.arange(E_b, dtype=jnp.int32))
-        rep = perm_ij[first]
-        Gij_tab = lie.se3_mul(poses[jj_s[rep]],
-                              lie.se3_inv(poses[ii_s[rep]]))
+        first = jnp.minimum(
+            jnp.searchsorted(gid_s_ij,
+                             jnp.arange(g_cap, dtype=gid_s_ij.dtype)
+                             ).astype(jnp.int32),
+            E_b - 1)
+        pair_rep = perm_ij[first]
+        Gij_tab = lie.se3_mul(poses[jj_s[pair_rep]],
+                              lie.se3_inv(poses[ii_s[pair_rep]]))
         Gij_e = Gij_tab[gid_o_ij]
-    coords = pops.transform(poses, patches_buf, intrinsics_buf,
-                            ii_s, jj_s, kk_s, Gij=Gij_e)  # (E, P, P, 2)
-    coords2 = coords.transpose(0, 3, 1, 2)             # (E, 2, P, P)
 
-    # two-level correlation (ref dpvo.py:200-207)
     kk_mod = kk_s % (M * pmem)
     jj_mod = jj_s % mem
     if use_pallas:
+        # reproject DIRECTLY in corr-sorted order: permuting the (E,)
+        # index vectors costs ~nothing, while permuting the computed
+        # (E, 2, P, P) coords was a 2.3 ms random gather at the retain
+        # bucket (corr_block_profile.py); BA's center coords come back
+        # through the cheap (E, 2) inverse gather
+        ii_p = ii_s[corr_perm]
+        jj_p = jj_s[corr_perm]
+        kk_p = kk_s[corr_perm]
+        Gij_p = None if Gij_tab is None else Gij_tab[gid_o_ij[corr_perm]]
+        coords_p = pops.transform(poses, patches_buf, intrinsics_buf,
+                                  ii_p, jj_p, kk_p, Gij=Gij_p)
+        coords2_s = coords_p.transpose(0, 3, 1, 2)     # (Es, 2, P, P)
+        coords_ctr = coords_p[:, c, c][corr_inv]       # (E, 2)
         enc_kernel = None
         if cp.FUSED_VERSION == 13:
             enc_kernel = params["params"]["corr1"]["kernel"]
         corr_feat = _corr_features_pallas(
-            gmap_buf, fmap1_buf, fmap2_buf, coords2, kk_mod,
+            gmap_buf, fmap1_buf, fmap2_buf, coords2_s, kk_mod,
             corr_perm, corr_inv, tile_frame, n_live=n_live,
-            enc_kernel=enc_kernel)
+            enc_kernel=enc_kernel, pre_sorted=True)
     else:
+        # two-level correlation (ref dpvo.py:200-207)
+        coords = pops.transform(poses, patches_buf, intrinsics_buf,
+                                ii_s, jj_s, kk_s, Gij=Gij_e)
+        coords2 = coords.transpose(0, 3, 1, 2)         # (E, 2, P, P)
+        coords_ctr = coords[:, c, c]                   # (E, 2)
         corr_feat = _corr_features(gmap_buf, fmap1_buf, fmap2_buf,
                                    coords2, kk_mod, jj_mod)
 
@@ -287,7 +311,7 @@ def _update_core(params, poses, patches_buf, intrinsics_buf,
         agg_meta=agg_meta, nbrs=nbrs, compact_meta=compact_meta,
         g_cap=g_cap)
 
-    target = coords[:, c, c] + delta                   # (E, 2)
+    target = coords_ctr + delta                        # (E, 2)
     target = jnp.where(valid[:, None], target, 0.0)
 
     if run_ba:
@@ -297,7 +321,8 @@ def _update_core(params, poses, patches_buf, intrinsics_buf,
             n_cap=n_cap, k_cap=k_cap, iterations=iterations,
             eperm=ba_perm,
             pair_gid=None if compact_meta is None else compact_meta[1][2],
-            pair_cap=None if compact_meta is None else g_cap)
+            pair_cap=None if compact_meta is None else g_cap,
+            pair_rep=pair_rep)
 
     net_tab = jax.lax.dynamic_update_slice(
         net_tab, net.astype(net_tab.dtype), (0, 0))

@@ -192,12 +192,14 @@ class Update(nn.Module):
         net = nn.LayerNorm(epsilon=1e-3, dtype=dt, name="gru_norm2")(net)
         net = GatedResidual(DIM, dt, name="gru_res2")(net)
 
-        # heads (ref net.py:58-67); outputs fp32 like the caller's .float()
+        # heads (ref net.py:58-67): computed in the compute dtype like
+        # the reference's autocast region, outputs fp32 like the
+        # caller's .float() — the f32 path cost two (E, 384) f32
+        # materializations per update at the retain bucket
         hd = nn.relu(net)
-        delta = nn.Dense(2, dtype=jnp.float32, name="d")(
-            hd.astype(jnp.float32))
+        delta = nn.Dense(2, dtype=dt, name="d")(hd).astype(jnp.float32)
         delta = grad_clip(delta)
-        w = nn.Dense(2, dtype=jnp.float32, name="w")(hd.astype(jnp.float32))
+        w = nn.Dense(2, dtype=dt, name="w")(hd).astype(jnp.float32)
         w = nn.sigmoid(grad_clip(w))
 
         vm = valid[:, None]

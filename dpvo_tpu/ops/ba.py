@@ -131,7 +131,8 @@ def _edge_terms_center(poses, ctr, fx, fy, cx, cy, target, ii, jj, kk,
                                    "pair_cap"))
 def ba_iterative(poses, patches, intrinsics, target, weight, lmbda,
                  ii, jj, kk, valid, t0, t1, n_cap, k_cap, iterations=2,
-                 eperm=None, pair_gid=None, pair_cap=None):
+                 eperm=None, pair_gid=None, pair_cap=None,
+                 pair_rep=None):
     """Inference BA (twin of cuda_ba, ba_cuda.cu:433-582).
 
     poses      (Np, 7) fp32
@@ -151,6 +152,10 @@ def ba_iterative(poses, patches, intrinsics, target, weight, lmbda,
                static), in the INPUT edge order — enables the per-PAIR
                relative-pose table inside each GN iteration (~300 pairs
                vs 45k edges at the retain bucket)
+    pair_rep   optional (pair_cap,) representative edge index per pair
+               rank in the INPUT edge order (the engine computes it
+               from its sorted agg_ij metadata); skips this function's
+               45k-update scatter-min
     Returns (poses', patches').
     """
     poses = jnp.asarray(poses, jnp.float32)
@@ -170,6 +175,7 @@ def ba_iterative(poses, patches, intrinsics, target, weight, lmbda,
     kk_m = jnp.where(valid, kk, _INT_MAX)
     if eperm is None:
         eperm = jnp.argsort(kk_m, stable=True)
+    ii_orig, jj_orig = ii, jj
     ii = ii[eperm]
     jj = jj[eperm]
     kk = kk[eperm]
@@ -178,11 +184,19 @@ def ba_iterative(poses, patches, intrinsics, target, weight, lmbda,
     weight = weight[eperm]
     kk_m = kk_m[eperm]                                      # sorted
 
-    pg = rep_pair = None
+    pg = rep_ii = rep_jj = None
     if pair_gid is not None:
         pg = pair_gid[eperm]
-        rep_pair = jnp.full((pair_cap,), E - 1, jnp.int32).at[pg].min(
-            jnp.arange(E, dtype=jnp.int32))                 # sorted-row rep
+        if pair_rep is not None:
+            # (pair_cap,) frame ids per pair straight from the
+            # input-order index vectors — no scatter at all
+            rep_ii = ii_orig[pair_rep]
+            rep_jj = jj_orig[pair_rep]
+        else:
+            rep_pair = jnp.full((pair_cap,), E - 1, jnp.int32).at[
+                pg].min(jnp.arange(E, dtype=jnp.int32))     # sorted-row rep
+            rep_ii = ii[rep_pair]
+            rep_jj = jj[rep_pair]
 
     # compact the touched patch set to k_cap slots (cuda: torch::_unique).
     # kk_m is sorted, so compact slot ids are a cumsum over run starts —
@@ -227,8 +241,8 @@ def ba_iterative(poses, patches, intrinsics, target, weight, lmbda,
 
         Gij_e = None
         if pg is not None:
-            Gt = lie.se3_mul(poses[jj[rep_pair]],
-                             lie.se3_inv(poses[ii[rep_pair]]))
+            Gt = lie.se3_mul(poses[rep_jj],
+                             lie.se3_inv(poses[rep_ii]))
             Gij_e = Gt[pg]
         r, mask, Ji, Jj, Jz = _edge_terms_center(
             poses, ctr, fx, fy, cx, cy, target, ii, jj, kk, Gij=Gij_e)

@@ -360,3 +360,52 @@ class TestCouplingAccuracy:
         err = np.abs(got - ref).max()
         assert err / max(np.abs(ref).max(), 1.0) < 5e-5, (
             f"relative segment-sum error {err / np.abs(ref).max()}")
+
+
+class TestPairTable:
+    """pair_gid / pair_rep paths must match the plain per-edge Gij
+    computation (the engine passes both from its agg_ij metadata)."""
+
+    def _run(self, **kw):
+        key = KEY
+        (poses_gt, patches_gt, intr, intrf, target,
+         ii, jj, kk) = build_problem(key)
+        xi = jax.random.normal(jax.random.PRNGKey(3),
+                               (poses_gt.shape[0], 6)) * 0.01
+        poses0 = lie.se3_mul(lie.se3_exp(xi), poses_gt)
+        E = ii.shape[0]
+        valid = jnp.ones((E,), bool)
+        weight = jnp.ones((E, 2))
+        return ba.ba_iterative(
+            poses0, patches_gt, intr, target, weight,
+            jnp.float32(1e-4), ii, jj, kk, valid,
+            jnp.int32(1), jnp.int32(poses_gt.shape[0]),
+            n_cap=8, k_cap=256, iterations=2, **kw)
+
+    @staticmethod
+    def _pair_meta(ii, jj):
+        """Dense pair ranks + a representative edge per rank (the
+        engine derives these from its sorted agg_ij metadata)."""
+        pair = np.asarray(ii) * 12345 + np.asarray(jj)
+        uniq, gid = np.unique(pair, return_inverse=True)
+        rep = np.zeros(len(uniq), np.int32)
+        for g in range(len(uniq)):
+            rep[g] = int(np.argmax(gid == g))
+        pair_cap = len(uniq) + 3
+        rep = np.concatenate([rep, np.zeros(3, np.int32)])
+        return (jnp.asarray(gid, jnp.int32), pair_cap,
+                jnp.asarray(rep, jnp.int32))
+
+    def test_pair_gid_matches_plain(self):
+        (poses_gt, patches_gt, intr, intrf, target,
+         ii, jj, kk) = build_problem(KEY)
+        gid, cap, rep = self._pair_meta(ii, jj)
+        p0, z0 = self._run()
+        p1, z1 = self._run(pair_gid=gid, pair_cap=cap)
+        p2, z2 = self._run(pair_gid=gid, pair_cap=cap, pair_rep=rep)
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p0),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(p2), np.asarray(p1),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(z2), np.asarray(z1),
+                                   atol=1e-6)
