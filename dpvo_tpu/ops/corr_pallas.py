@@ -44,15 +44,18 @@ DW = 16        # aligned load width (covers the 8 taps at any residue)
 P2 = 9         # patch pixels (3x3)
 TILE = 16      # edges per grid step
 
-# Default fused-kernel variant.  v12 (MXU channel dot on the raw
-# 16-wide bf16 windows, residue select folded into the batched blends)
-# measured 21.8 (v9) -> 14.1 (v10) -> 11.7 ms/call at E=49152 on TPU
-# v5e, and matches v4 to maxrel ~1e-7 on hardware (bf16 window rows
-# enter the f32-accumulating MXU unrounded; only summation order
-# differs).  v9 (batched blends, VPU dot) is bit-identical to v4 — set
-# DPVO_CORR_VERSION=9 for exact-f32 correlation, =4 if a toolchain
-# rejects the newer layouts.
-FUSED_VERSION = int(os.environ.get("DPVO_CORR_VERSION", "12"))
+# Default fused-kernel variant.  v13 (v12 + in-kernel gmap-ring gather
+# + fused corr-encoder first matmul, engine path only) measured
+# 12.95 ms vs 13.55 for the full v12 pipeline (gather + kernel +
+# matmul) at E=49152 on TPU v5e, maxrel 1.6e-3 vs the v12 pipeline
+# (inside the reference's fp16 corr gate).  v12 (MXU channel dot on
+# the raw 16-wide bf16 windows, residue select folded into the batched
+# blends) measured 21.8 (v9) -> 14.1 (v10) -> 11.7 ms/call standalone
+# and matches v4 to maxrel ~1e-7 on hardware.  v9 (batched blends,
+# VPU dot) is bit-identical to v4 — set DPVO_CORR_VERSION=9 for
+# exact-f32 correlation, =4 if a toolchain rejects the newer layouts,
+# =12 to disable the v13 fusions.
+FUSED_VERSION = int(os.environ.get("DPVO_CORR_VERSION", "13"))
 
 
 def padded_hw(H, W):
@@ -730,6 +733,11 @@ def corr_pallas_fused(g_pre, fmap1_padded, fmap2_padded, coords,
     """
     if version is None:
         version = FUSED_VERSION
+    if version == 13:
+        # v13 is the ENGINE path (corr_pallas_enc: needs the gmap ring
+        # + encoder kernel); standalone callers get its v12 core
+        # instead of silently falling through to the v4 kernel
+        version = 12
     E, _, C = g_pre.shape
     F, Hp1, Wp1, _ = fmap1_padded.shape
     _, Hp2, Wp2, _ = fmap2_padded.shape

@@ -77,8 +77,11 @@ def corr_point(E):
     tf = jnp.sort(tf)
 
     def run(tf):
+        # v12 core explicitly: the FLOP/byte model below describes its
+        # structure (v13 adds the in-kernel gather + encoder matmul,
+        # measured separately in v13_bench.py)
         return cp.corr_pallas_fused(g, f1, f2, coords, tf,
-                                    out_dtype=jnp.bfloat16)
+                                    out_dtype=jnp.bfloat16, version=12)
 
     ms = timed(f"corr_pallas_fused E={E}", run, tf,
                      reps=8)
